@@ -1,0 +1,133 @@
+"""Non-maximum suppression under static shapes.
+
+The reference NMS is a CUDA kernel (csrc/cuda/nms.cu): sort by score, greedy
+sweep where a kept box suppresses later boxes with IoU > threshold, IoU using
+the +1 pixel extents (nms.cu:13-21). This module reproduces those exact
+semantics as an XLA ``fori_loop`` over score-sorted boxes — each iteration is
+one O(K) vectorized suppression step, so the whole NMS is K sequential VPU
+steps with no host round-trips (the CUDA version's host-side mask sweep,
+nms.cu:105-123, disappears).
+
+Padded slots enter with ``valid=False`` and can never suppress anything.
+
+A Pallas tiled-bitmask fast path can replace the fori_loop later without
+changing this interface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TO_REMOVE = 1.0
+
+
+def _iou_one_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one (4,) box against (K, 4), +1 extents (nms.cu:13-21)."""
+    xx1 = jnp.maximum(box[0], boxes[:, 0])
+    yy1 = jnp.maximum(box[1], boxes[:, 1])
+    xx2 = jnp.minimum(box[2], boxes[:, 2])
+    yy2 = jnp.minimum(box[3], boxes[:, 3])
+    w = jnp.maximum(xx2 - xx1 + TO_REMOVE, 0.0)
+    h = jnp.maximum(yy2 - yy1 + TO_REMOVE, 0.0)
+    inter = w * h
+    area1 = (box[2] - box[0] + TO_REMOVE) * (box[3] - box[1] + TO_REMOVE)
+    area2 = (boxes[:, 2] - boxes[:, 0] + TO_REMOVE) * (boxes[:, 3] - boxes[:, 1] + TO_REMOVE)
+    return inter / (area1 + area2 - inter)
+
+
+@partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_keep_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Greedy NMS. Returns a bool keep mask in the *original* index order.
+
+    Suppression uses ``iou > threshold`` (the CUDA path's convention,
+    nms.cu:64; the CPU fallback uses >=, we follow the production CUDA path).
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    sort_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-sort_scores)  # descending
+    b = boxes[order]
+    live = valid[order]
+    idx = jnp.arange(k)
+
+    def body(i, live):
+        keep_i = live[i]
+        iou = _iou_one_to_many(b[i], b)
+        sup = keep_i & (iou > iou_threshold) & (idx > i)
+        return live & ~sup
+
+    live = jax.lax.fori_loop(0, k, body, live)
+    # scatter back to original order
+    keep = jnp.zeros(k, bool).at[order].set(live)
+    return keep
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+):
+    """NMS returning (indices, keep_valid) of up to ``max_out`` survivors.
+
+    Survivors are returned in descending score order, padded with index 0 and
+    keep_valid=False — the analog of boxlist_nms + max_proposals truncation
+    (structures/boxlist_ops.py:10-33).
+    """
+    k = boxes.shape[0]
+    keep = nms_keep_mask(boxes, scores, valid, iou_threshold)
+    ranked = jnp.where(keep, scores, -jnp.inf)
+    kk = min(max_out, k)
+    top_scores, top_idx = jax.lax.top_k(ranked, kk)
+    if kk < max_out:
+        top_idx = jnp.concatenate([top_idx, jnp.zeros(max_out - kk, top_idx.dtype)])
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full(max_out - kk, -jnp.inf, top_scores.dtype)]
+        )
+    return top_idx, top_scores > -jnp.inf
+
+
+def soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    sigma: float = 0.5,
+    score_threshold: float = 0.001,
+    max_out: int | None = None,
+):
+    """Gaussian soft-NMS (structures/boxlist_ops.py:124-198).
+
+    Iteratively selects the max-score box and decays overlapping scores by
+    exp(-iou^2 / sigma). Returns (decayed_scores, selection_order_validity).
+    """
+    k = boxes.shape[0]
+    steps = max_out if max_out is not None else k
+
+    def body(_, state):
+        cur_scores, out_scores, done = state
+        i = jnp.argmax(jnp.where(done, -jnp.inf, cur_scores))
+        s_i = cur_scores[i]
+        alive = s_i > score_threshold
+        iou = _iou_one_to_many(boxes[i], boxes)
+        decay = jnp.exp(-(iou ** 2) / sigma)
+        new_scores = jnp.where(done, cur_scores, cur_scores * decay)
+        new_scores = new_scores.at[i].set(s_i)
+        out_scores = out_scores.at[i].set(jnp.where(alive, s_i, 0.0))
+        done = done.at[i].set(True)
+        return new_scores, out_scores, done
+
+    init_scores = jnp.where(valid, scores, 0.0)
+    done0 = ~valid
+    _, out_scores, done = jax.lax.fori_loop(
+        0, steps, body, (init_scores, jnp.zeros_like(scores), done0)
+    )
+    return out_scores, out_scores > score_threshold
