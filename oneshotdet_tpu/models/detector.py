@@ -1,0 +1,400 @@
+"""Siamese GeneralizedRCNN — the one-shot detector meta-architecture.
+
+Reimplements modeling/detector/generalized_rcnn.py as a flax module with a
+functional train/eval forward:
+
+  stage 0: query and support go through (optionally separate) ResNet-50-FPN
+           backbones (generalized_rcnn.py:270-278, SIAMESE_BACKBONE);
+  fusion:  support features are ROIAligned to 1x1 per FPN level over the
+           whole support box (SuppAlignLayer, :20-52), shot-averaged
+           (batch_pooling, :100-104), and broadcast-multiplied into the
+           query pyramid (:307-311);
+  stage 1: class-agnostic FCOS on the fused pyramid -> proposals (:312);
+  stage 2: 7x7 ROI features of the *raw* query pyramid + 7x7 whole-support
+           ROI features -> relation head (:314-318).
+
+Note on a reference quirk: the whole-support box is built as
+``[0, 0, h, w]`` (generalized_rcnn.py:257 — image_sizes is (h, w) but
+BoxList expects (x, y) order), i.e. x2/y2 are swapped for non-square
+supports. This rebuild uses the correct ``[0, 0, w, h]``; models trained
+here are self-consistent, and reference-checkpoint evaluation can only be
+affected for strongly non-square supports.
+
+Everything is static-shape: proposals are padded Boxes, NMS/top-k are
+masked ops, and the whole forward jits into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..ops.box_coder import BoxCoder
+from ..ops.roi_align import fpn_level_map, multilevel_roi_align, roi_align
+from ..structures.boxes import Boxes, cat_boxes
+from ..structures.image_batch import ImageBatch
+from .fcos import FCOSHead, compute_locations, fcos_losses, fcos_postprocess, fcos_targets
+from .fpn import ResNetFPN
+from .roi_head import (
+    ROIBoxHeadNet,
+    predictor_num_classes,
+    prepare_roi_targets,
+    roi_head_loss,
+    roi_head_postprocess,
+)
+
+
+@struct.dataclass
+class DetectorConfig:
+    """Static (hashable) model hyperparameters extracted from the cfg tree."""
+
+    # backbone
+    depth: int = 50
+    out_channels: int = 256
+    use_c5_for_p6: bool = False
+    siamese_backbone: bool = True
+    # fcos
+    fpn_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    num_convs: int = 4
+    prior_prob: float = 0.01
+    center_sample: bool = True
+    pos_radius: float = 1.5
+    loc_loss_type: str = "giou"
+    loss_gamma: float = 2.0
+    loss_alpha: float = 0.25
+    focal_mode: str = "SIGMOID"
+    score_mode: str = "BINARY"
+    # rpn-mode postprocessing
+    rpn_only: bool = False
+    pre_nms_top_n_train: int = 12000
+    pre_nms_top_n_test: int = 6000
+    rpn_nms_thresh: float = 0.8
+    fpn_post_nms_top_n_train: int = 4000
+    fpn_post_nms_top_n_test: int = 2000
+    nms_pre_topk: int = 8192
+    # detector-mode (RPN_ONLY=True) postprocessing
+    inference_th: float = 0.0
+    fcos_nms_th: float = 0.6
+    fcos_pre_nms_top_n: int = 12000
+    detections_per_img_rpn_only: int = 4000
+    # roi head
+    pooler_resolution: int = 7
+    pooler_scales: Tuple[float, ...] = (0.125, 0.0625, 0.03125, 0.015625, 0.0078125)
+    pooler_sampling_ratio: int = 2
+    mlp_head_dim: int = 1024
+    second_stage_method: str = "concat"
+    second_stage_cls_loss: str = "ce_loss"
+    linear_fusion: bool = False
+    neg_support: bool = False
+    cls_agnostic_bbox_reg: bool = False
+    bbox_reg_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
+    roi_batch_size_per_image: int = 128
+    roi_positive_fraction: float = 0.25
+    roi_fg_iou: float = 0.5
+    roi_bg_iou: float = 0.5
+    roi_score_thresh: float = 0.0
+    roi_nms_thresh: float = 0.5
+    roi_detections_per_img: int = 2000
+    # few-shot
+    num_shot: int = 1
+    supp_roialign: bool = True
+    max_gt: int = 64
+
+
+def detector_config_from_cfg(cfg) -> DetectorConfig:
+    """Map the yacs-style cfg tree onto the static DetectorConfig."""
+    return DetectorConfig(
+        depth=50 if "50" in cfg.MODEL.BACKBONE.CONV_BODY else 101,
+        out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+        use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
+        siamese_backbone=cfg.FEW_SHOT.SIAMESE_BACKBONE,
+        fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+        num_convs=cfg.MODEL.FCOS.NUM_CONVS,
+        prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
+        center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
+        pos_radius=cfg.MODEL.FCOS.POS_RADIUS,
+        loc_loss_type=cfg.MODEL.FCOS.LOC_LOSS_TYPE,
+        loss_gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
+        loss_alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
+        focal_mode=cfg.LOSS.FOCAL_LOSS,
+        score_mode=cfg.LOSS.CLS_LOSS,
+        rpn_only=cfg.MODEL.RPN_ONLY,
+        pre_nms_top_n_train=cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN,
+        pre_nms_top_n_test=cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST,
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        fpn_post_nms_top_n_train=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+        fpn_post_nms_top_n_test=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST,
+        nms_pre_topk=cfg.TPU.NMS_PRE_TOPK,
+        inference_th=cfg.MODEL.FCOS.INFERENCE_TH,
+        fcos_nms_th=cfg.MODEL.FCOS.NMS_TH,
+        fcos_pre_nms_top_n=cfg.MODEL.FCOS.PRE_NMS_TOP_N,
+        detections_per_img_rpn_only=cfg.TEST.DETECTIONS_PER_IMG,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_scales=tuple(cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES),
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        mlp_head_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+        second_stage_method=cfg.FEW_SHOT.SECOND_STAGE_METHOD,
+        second_stage_cls_loss=cfg.FEW_SHOT.SECOND_STAGE_CLS_LOSS,
+        linear_fusion=cfg.FEW_SHOT.LINEAR_FUSION,
+        neg_support=cfg.FEW_SHOT.NEG_SUPPORT.TURN_ON,
+        cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        bbox_reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+        roi_batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        roi_fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+        roi_bg_iou=cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+        roi_score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+        roi_nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
+        roi_detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+        num_shot=cfg.FEW_SHOT.NUM_SHOT,
+        supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
+        max_gt=cfg.TPU.MAX_GT_BOXES,
+    )
+
+
+def _whole_image_rois(sizes_hw: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) true (h, w) -> (N, 5) rois (idx, 0, 0, w, h)."""
+    n = sizes_hw.shape[0]
+    idx = jnp.arange(n, dtype=jnp.float32)[:, None]
+    zeros = jnp.zeros((n, 2), jnp.float32)
+    wh = sizes_hw[:, ::-1]
+    return jnp.concatenate([idx, zeros, wh], axis=1)
+
+
+class GeneralizedRCNN(nn.Module):
+    """The full one-shot detector. See module docstring."""
+
+    config: DetectorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.backbone = ResNetFPN(
+            depth=c.depth, out_channels=c.out_channels,
+            use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="backbone",
+        )
+        if c.siamese_backbone:
+            self.supp_backbone = ResNetFPN(
+                depth=c.depth, out_channels=c.out_channels,
+                use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="supp_backbone",
+            )
+        self.fcos_head = FCOSHead(
+            num_convs=c.num_convs, num_classes=1, prior_prob=c.prior_prob,
+            num_levels=len(c.fpn_strides), dtype=self.dtype, name="fcos_head",
+        )
+        if not c.rpn_only:
+            ncls, nreg = predictor_num_classes(
+                c.second_stage_method, c.second_stage_cls_loss, c.neg_support
+            )
+            self.roi_head = ROIBoxHeadNet(
+                in_channels=c.out_channels, resolution=c.pooler_resolution,
+                representation_size=c.mlp_head_dim, num_classes=ncls,
+                num_bbox_reg=nreg, linear_fusion=c.linear_fusion,
+                dtype=self.dtype, name="roi_head",
+            )
+
+    # -- helpers ----------------------------------------------------------
+
+    def _supp_features(self, supp: ImageBatch):
+        c = self.config
+        if c.siamese_backbone:
+            return self.supp_backbone(supp.pixels)
+        return self.backbone(supp.pixels)
+
+    def _fuse(self, features, features_supp, supp_sizes_hw, batch_size):
+        """1x1 supp pooling + shot-average + channel-multiply (ref :296-311)."""
+        c = self.config
+        rois = _whole_image_rois(supp_sizes_hw)  # (B*shot, 5)
+        combined = []
+        for lvl, (f, fs) in enumerate(zip(features, features_supp)):
+            if c.supp_roialign:
+                pooled = roi_align(
+                    fs, rois, (1, 1), c.pooler_scales[lvl], c.pooler_sampling_ratio
+                )  # (B*shot, 1, 1, C)
+            else:
+                pooled = fs.mean(axis=(1, 2), keepdims=True)
+            shot = pooled.shape[0] // batch_size
+            pooled = pooled.reshape(batch_size, shot, 1, 1, -1).mean(axis=1)
+            combined.append(f * pooled.astype(f.dtype))
+        return combined
+
+    def _pool_rois(self, features, boxes: Boxes):
+        """Multi-level 7x7 pooling of batched padded Boxes -> (B*P, 7, 7, C)."""
+        c = self.config
+        b, p = boxes.valid.shape
+        flat_xyxy = boxes.xyxy.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)[:, None]
+        rois = jnp.concatenate([batch_idx, flat_xyxy], axis=1)
+        k_min = 3  # -log2(1/8)
+        k_max = k_min + len(c.pooler_scales) - 1
+        levels = fpn_level_map(flat_xyxy, k_min, k_max) if len(c.pooler_scales) > 1 else jnp.zeros(
+            (b * p,), jnp.int32
+        )
+        return multilevel_roi_align(
+            features, rois, levels,
+            (c.pooler_resolution, c.pooler_resolution),
+            c.pooler_scales, c.pooler_sampling_ratio,
+        )
+
+    def _supp_roi_7x7(self, features_supp, supp_sizes_hw, batch_size):
+        """Whole-support 7x7 features for stage 2 (supproi_pooling.py:42-73).
+
+        Shot-averaged to one support per query image.
+        """
+        c = self.config
+        rois5 = _whole_image_rois(supp_sizes_hw)
+        wh = supp_sizes_hw[:, ::-1]
+        whole = jnp.concatenate([jnp.zeros_like(wh), wh], axis=1)  # (N, 4)
+        k_min = 3
+        k_max = k_min + len(c.pooler_scales) - 1
+        levels = fpn_level_map(whole, k_min, k_max)
+        pooled = multilevel_roi_align(
+            features_supp, rois5, levels,
+            (c.pooler_resolution, c.pooler_resolution),
+            c.pooler_scales, c.pooler_sampling_ratio,
+        )  # (B*shot, 7, 7, C)
+        shot = pooled.shape[0] // batch_size
+        r = c.pooler_resolution
+        return pooled.reshape(batch_size, shot, r, r, -1).mean(axis=1)
+
+    # -- forward ----------------------------------------------------------
+
+    def __call__(
+        self,
+        images: ImageBatch,
+        images_supp: ImageBatch,
+        targets: Optional[Boxes] = None,
+        target_ids: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Returns a dict of losses (train) or detection Boxes (eval)."""
+        c = self.config
+        b = images.batch_size
+
+        features = self.backbone(images.pixels.astype(self.dtype))
+        features_supp = self._supp_features(images_supp)
+
+        combined = self._fuse(features, features_supp, images_supp.sizes, b)
+
+        logits, bbox_reg, ctrness = self.fcos_head(combined)
+        shapes = [(f.shape[1], f.shape[2]) for f in combined]
+        locations = compute_locations(shapes, c.fpn_strides)
+
+        losses = {}
+        if train:
+            assert targets is not None and rng is not None
+            labels, reg_targets = fcos_targets(
+                locations, c.fpn_strides, targets.xyxy,
+                targets.get_field("labels"), targets.valid,
+                c.center_sample, c.pos_radius,
+            )
+            loss_cls, loss_reg, loss_ctr = fcos_losses(
+                logits, bbox_reg, ctrness, labels, reg_targets,
+                c.loss_gamma, c.loss_alpha, c.loc_loss_type, c.focal_mode,
+            )
+            losses.update(
+                loss_cls=loss_cls, loss_reg=loss_reg, loss_centerness=loss_ctr
+            )
+
+        if c.rpn_only:
+            if train:
+                return losses
+            return fcos_postprocess(
+                locations, logits, bbox_reg, ctrness, images.sizes_wh(),
+                c.fcos_pre_nms_top_n, c.fcos_nms_th,
+                c.detections_per_img_rpn_only, c.nms_pre_topk,
+                c.inference_th, c.score_mode,
+            )
+
+        # proposals (box_selector under no_grad in the reference, :196-199)
+        pre_n = c.pre_nms_top_n_train if train else c.pre_nms_top_n_test
+        post_n = c.fpn_post_nms_top_n_train if train else c.fpn_post_nms_top_n_test
+        proposals = fcos_postprocess(
+            [jax.lax.stop_gradient(l) for l in locations],
+            [jax.lax.stop_gradient(x) for x in logits],
+            [jax.lax.stop_gradient(x) for x in bbox_reg],
+            [jax.lax.stop_gradient(x) for x in ctrness],
+            images.sizes_wh(), pre_n, c.rpn_nms_thresh, post_n,
+            c.nms_pre_topk, 0.0, c.score_mode,
+        )
+
+        # stage-2 whole-support features
+        supp_7x7 = self._supp_roi_7x7(features_supp, images_supp.sizes, b)
+
+        if train:
+            # append gt boxes to proposals (inference.py:139-160)
+            gt_as_props = Boxes(
+                xyxy=targets.xyxy, valid=targets.valid, size=targets.size,
+                fields={
+                    "scores": jnp.where(targets.valid, 1.0, 0.0),
+                    "objectness": jnp.where(targets.valid, 1.0, 0.0),
+                },
+            )
+            proposals = cat_boxes(proposals, gt_as_props)
+
+            rng_sample = jax.random.fold_in(rng, 1)
+            idx, s_valid, roi_labels, roi_reg_t = prepare_roi_targets(
+                rng_sample, proposals, targets, BoxCoder(c.bbox_reg_weights),
+                c.roi_batch_size_per_image, c.roi_positive_fraction,
+                c.roi_fg_iou, c.roi_bg_iou,
+            )
+            sampled = Boxes(
+                xyxy=jnp.take_along_axis(proposals.xyxy, idx[..., None], axis=1),
+                valid=s_valid,
+                size=proposals.size,
+                fields={},
+            )
+            roi_feats = self._pool_rois(features, sampled)
+            n = roi_feats.shape[0]
+            r = c.pooler_resolution
+            supp_exp = jnp.broadcast_to(
+                supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
+            ).reshape(n, r, r, -1)
+            cls_logits, box_deltas = self.roi_head(
+                roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+            )
+            loss_classifier, loss_box_reg = roi_head_loss(
+                cls_logits, box_deltas, roi_labels, roi_reg_t, s_valid,
+                c.second_stage_cls_loss, c.loss_gamma, c.loss_alpha,
+                c.cls_agnostic_bbox_reg,
+            )
+            # x5 / x2.5 weights (box_head.py:193-194)
+            losses.update(
+                loss_classifier=loss_classifier * 5.0,
+                loss_box_reg=loss_box_reg * 2.5,
+            )
+            return losses
+
+        # eval: score every proposal against the support
+        roi_feats = self._pool_rois(features, proposals)
+        n = roi_feats.shape[0]
+        r = c.pooler_resolution
+        supp_exp = jnp.broadcast_to(
+            supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
+        ).reshape(n, r, r, -1)
+        cls_logits, box_deltas = self.roi_head(
+            roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+        )
+        if target_ids is None:
+            target_ids = jnp.ones((b,), jnp.int32)
+        return roi_head_postprocess(
+            cls_logits, box_deltas, proposals, target_ids,
+            BoxCoder(c.bbox_reg_weights), c.roi_score_thresh,
+            c.roi_nms_thresh, c.roi_detections_per_img,
+            c.second_stage_cls_loss,
+        )
+
+
+def build_detection_model(cfg, dtype=None):
+    """Public builder matching the reference API
+    (modeling/detector/detectors.py:8-10). Returns a flax Module."""
+    import jax.numpy as jnp  # noqa
+
+    if dtype is None:
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.TPU.COMPUTE_DTYPE]
+    return GeneralizedRCNN(config=detector_config_from_cfg(cfg), dtype=dtype)

@@ -1,0 +1,157 @@
+"""ResNet backbone (flax/NHWC), Caffe2-convention.
+
+Reimplements the config-driven ResNet of
+maskrcnn_benchmark/modeling/backbone/resnet.py with the conventions the
+pretrained Caffe2/torch weights assume:
+
+  - stem: 7x7 s2 conv (no bias) + FrozenBN + ReLU + 3x3 s2 maxpool
+    (resnet.py:318-337);
+  - BottleneckWithFixedBatchNorm: 1x1 (stride here when STRIDE_IN_1X1,
+    resnet.py:263) + 3x3 + 1x1x4, FrozenBN after each, ReLU after the
+    residual add; 1x1-strided FrozenBN downsample on the first block of a
+    stage (resnet.py:218-316);
+  - stage strides: res2 = 1, res3..5 = 2 (first block);
+  - all BN statistics frozen (constants collection, see layers.FrozenBatchNorm).
+
+Parameter freezing (FREEZE_CONV_BODY_AT, resnet.py:127-136) is functional
+here: `frozen_param_paths` returns the path prefixes whose gradients the
+optimizer masks to zero — the pjit-friendly analog of requires_grad=False.
+
+Module names mirror the torch names (stem/layer1..4/0..n/conv1..3/bn1..3/
+downsample) so checkpoint import is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm
+
+# (blocks per stage) for each depth
+STAGE_BLOCKS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=False,
+        dtype=dtype,
+        kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        identity = x
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+
+        out = _conv(self.bottleneck_channels, 1, s1, name="conv1", dtype=self.dtype)(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="bn1", dtype=self.dtype)(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            self.bottleneck_channels,
+            (3, 3),
+            strides=(s3, s3),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="bn2", dtype=self.dtype)(out)
+        out = nn.relu(out)
+
+        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenBatchNorm(self.out_channels, name="bn3", dtype=self.dtype)(out)
+
+        if in_channels != self.out_channels or self.stride != 1:
+            identity = _conv(self.out_channels, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = FrozenBatchNorm(self.out_channels, name="downsample_bn", dtype=self.dtype)(identity)
+
+        return nn.relu(out + identity)
+
+
+class Stem(nn.Module):
+    out_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(self.out_channels, 7, 2, name="conv1", dtype=self.dtype)(x)
+        x = FrozenBatchNorm(self.out_channels, name="bn1", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        # torch max_pool2d(kernel=3, stride=2, padding=1): pad with -inf
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        return x
+
+
+class ResNet(nn.Module):
+    """Returns (C2, C3, C4, C5) feature maps, NHWC."""
+
+    depth: int = 50
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    width_per_group: int = 64
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = Stem(self.stem_out_channels, name="stem", dtype=self.dtype)(x)
+        outputs = []
+        blocks = STAGE_BLOCKS[self.depth]
+        for stage_idx, n_blocks in enumerate(blocks, start=1):
+            mult = 2 ** (stage_idx - 1)
+            out_ch = self.res2_out_channels * mult
+            bottleneck_ch = self.num_groups * self.width_per_group * mult
+            stride = 1 if stage_idx == 1 else 2
+            dilation = self.res5_dilation if stage_idx == 4 else 1
+            if dilation > 1:
+                stride = 1
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    bottleneck_channels=bottleneck_ch,
+                    out_channels=out_ch,
+                    stride=stride if b == 0 else 1,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dilation=dilation,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx}_{b}",
+                )(x)
+            outputs.append(x)
+        return tuple(outputs)
+
+
+def frozen_param_paths(freeze_at: int = 2) -> Tuple[str, ...]:
+    """Path prefixes to freeze, matching _freeze_backbone (resnet.py:127-136).
+
+    freeze_at=2 freezes the stem and layer1 (stage 0 = stem convention).
+    Returns prefixes relative to the ResNet module ('stem', 'layer1', ...).
+    """
+    prefixes = []
+    for stage_index in range(freeze_at):
+        prefixes.append("stem" if stage_index == 0 else f"layer{stage_index}")
+    return tuple(prefixes)

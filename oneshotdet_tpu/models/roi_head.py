@@ -1,0 +1,250 @@
+"""Stage-2 relation/matching box head.
+
+Reimplements modeling/roi_heads/box_head/{box_head,roi_box_predictors,
+loss,inference}.py for the one-shot 'concat' method:
+
+  - 7x7 query ROI features and 7x7 whole-support ROI features are
+    channel-concatenated per (proposal, support) pair (box_head.py:147);
+  - compress_dim_conv: [1x1 conv (2C->2C) + GN32 + LeakyReLU(0.2),
+    1x1 conv (2C->C) + GN32 + LeakyReLU(0.2)] (box_head.py:44-51);
+  - feature_aggreg: 3x3 conv C->C/2 + GN32 + LeakyReLU(0.2) (box_head.py:62-66);
+  - fc6: Linear(C/2*49 -> 1024), fc7: Linear(1024 -> 1024), ReLU after each
+    (box_head.py:73-76, 153-154);
+  - FPNPredictor: cls Linear(1024 -> num_classes), bbox Linear(1024 ->
+    4*num_bbox_reg) with the (method, loss, neg_supp) decision table
+    (roi_box_predictors.py:36-99) — concat+ce_loss -> 2 classes, 2 reg;
+  - train losses: CE x5, smooth-L1 over positives with per-class reg slots
+    4*label+[0..3], normalized by total sampled count, x2.5
+    (box_head.py:190-195, loss.py:340-393);
+  - eval: BoxCoder(10,10,5,5) decode of box_regression[:, :8], class-1
+    softmax prob, per-image NMS(0.5), labels stamped with the episode's
+    target_id (inference.py:46-167).
+
+The fc6 input is flattened in torch's (C, H, W) channel-major order so
+reference checkpoints import as a pure reshape.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.box_coder import BoxCoder
+from ..ops.losses import cross_entropy, sigmoid_focal_loss, smooth_l1_loss
+from ..ops.nms import nms_keep_mask
+from ..structures.boxes import Boxes, masked_box_iou
+from .matcher import BELOW_LOW_THRESHOLD, BETWEEN_THRESHOLDS, balanced_sample, match_boxes
+
+
+def predictor_num_classes(method: str, cls_loss: str, neg_supp: bool) -> Tuple[int, int]:
+    """(num_classes, num_bbox_reg_classes) decision table
+    (roi_box_predictors.py:36-80)."""
+    if method == "rn":
+        num_classes = 1 if cls_loss == "focal_loss" else 2
+    elif method == "concat":
+        if cls_loss == "focal_loss":
+            num_classes = 2 if neg_supp else 1
+        elif cls_loss in ("ce_loss", "cxe_loss"):
+            num_classes = 2
+        elif cls_loss in ("mse_loss", "l1_loss"):
+            num_classes = 1
+        else:
+            raise ValueError(f"unsupported SECOND_STAGE_CLS_LOSS {cls_loss}")
+    else:
+        raise ValueError(f"unsupported SECOND_STAGE_METHOD {method}")
+    if cls_loss in ("focal_loss", "mse_loss", "l1_loss"):
+        num_bbox_reg = num_classes + 1
+    else:
+        num_bbox_reg = num_classes
+    return num_classes, num_bbox_reg
+
+
+class ROIBoxHeadNet(nn.Module):
+    """The learned part: fused (query ROI, support) features -> logits, deltas."""
+
+    in_channels: int = 256
+    resolution: int = 7
+    representation_size: int = 1024
+    num_classes: int = 2
+    num_bbox_reg: int = 2
+    linear_fusion: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray, supp_feats: jnp.ndarray):
+        """roi_feats, supp_feats: (N, 7, 7, C). Returns (N, cls), (N, 4*reg)."""
+        c = self.in_channels
+        x = jnp.concatenate([roi_feats, supp_feats], axis=-1)  # (N, 7, 7, 2C)
+
+        if not self.linear_fusion:
+            x = nn.Conv(2 * c, (1, 1), dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.01), name="compress_0")(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="compress_gn0")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.01), name="compress_1")(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="compress_gn1")(x)
+            x = nn.leaky_relu(x, 0.2)
+
+        x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype, name="aggreg")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="aggreg_gn")(x)
+        x = nn.leaky_relu(x, 0.2)
+
+        # flatten channel-major (torch .view order) for checkpoint interop
+        n = x.shape[0]
+        x = x.transpose(0, 3, 1, 2).reshape(n, -1)
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc7")(x))
+
+        logits = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.zeros, name="cls_score",
+        )(x).astype(jnp.float32)
+        deltas = nn.Dense(
+            self.num_bbox_reg * 4, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001),
+            bias_init=nn.initializers.zeros, name="bbox_pred",
+        )(x).astype(jnp.float32)
+        return logits, deltas
+
+
+def prepare_roi_targets(
+    rng: jax.Array,
+    proposals: Boxes,      # batched (B, P)
+    gt: Boxes,             # batched (B, G), field 'labels'
+    box_coder: BoxCoder,
+    batch_size_per_image: int = 128,
+    positive_fraction: float = 0.25,
+    fg_iou_threshold: float = 0.5,
+    bg_iou_threshold: float = 0.5,
+):
+    """subsample + target prep (loss.py:106-292) for the whole batch.
+
+    Returns (sampled_idx (B, S), sampled_valid (B, S), labels (B, S),
+    reg_targets (B, S, 4)) with S = batch_size_per_image.
+    """
+
+    def per_image(key, prop_xyxy, prop_valid, gt_xyxy, gt_valid, gt_labels):
+        iou = masked_box_iou(gt_xyxy, gt_valid, prop_xyxy, prop_valid)  # (G, N)
+        matched = match_boxes(iou, gt_valid, fg_iou_threshold, bg_iou_threshold)
+        clamped = jnp.maximum(matched, 0)
+        labels = jnp.take(gt_labels, clamped).astype(jnp.int32)
+        labels = jnp.where(matched == BELOW_LOW_THRESHOLD, 0, labels)
+        labels = jnp.where(matched == BETWEEN_THRESHOLDS, -1, labels)
+        labels = jnp.where(prop_valid, labels, -1)  # padding is ignored
+        matched_gt = jnp.take(gt_xyxy, clamped, axis=0)
+        reg_targets = box_coder.encode(matched_gt, prop_xyxy)
+        idx, s_valid = balanced_sample(
+            key, labels, prop_valid, batch_size_per_image, positive_fraction
+        )
+        return (
+            idx,
+            s_valid,
+            jnp.take(labels, idx),
+            jnp.take(reg_targets, idx, axis=0),
+        )
+
+    b = proposals.xyxy.shape[0]
+    keys = jax.random.split(rng, b)
+    return jax.vmap(per_image)(
+        keys, proposals.xyxy, proposals.valid, gt.xyxy, gt.valid,
+        gt.get_field("labels"),
+    )
+
+
+def roi_head_loss(
+    logits: jnp.ndarray,        # (B*S, num_classes)
+    deltas: jnp.ndarray,        # (B*S, 4*num_reg)
+    labels: jnp.ndarray,        # (B, S)
+    reg_targets: jnp.ndarray,   # (B, S, 4)
+    sampled_valid: jnp.ndarray,  # (B, S)
+    cls_loss_type: str = "ce_loss",
+    focal_gamma: float = 2.0,
+    focal_alpha: float = 0.25,
+    cls_agnostic_bbox_reg: bool = False,
+):
+    """FastRCNNLossComputation.__call__ default path (loss.py:340-393)."""
+    labels_flat = labels.reshape(-1)
+    valid_flat = sampled_valid.reshape(-1) & (labels_flat >= 0)
+    reg_t_flat = reg_targets.reshape(-1, 4)
+    pos = (labels_flat > 0) & valid_flat
+
+    if cls_loss_type == "ce_loss":
+        cls_loss = cross_entropy(logits, labels_flat, valid=valid_flat)
+    elif cls_loss_type == "focal_loss":
+        cls_loss = sigmoid_focal_loss(
+            logits, jnp.where(valid_flat, labels_flat, -1), focal_gamma, focal_alpha
+        ) / jnp.maximum(pos.sum(), 1)
+    else:
+        raise ValueError(f"unsupported cls loss {cls_loss_type}")
+
+    # per-class regression slots: cols 4*label + [0..3] (loss.py:379-393)
+    if cls_agnostic_bbox_reg:
+        slot = jnp.full_like(labels_flat, 1)
+    else:
+        slot = jnp.maximum(labels_flat, 0)
+    d = deltas.reshape(deltas.shape[0], -1, 4)
+    picked = jnp.take_along_axis(d, slot[:, None, None].repeat(4, -1), axis=1)[:, 0, :]
+    box_l = smooth_l1_loss(picked, reg_t_flat, beta=1.0).sum(-1)
+    box_loss = (box_l * pos).sum() / jnp.maximum(valid_flat.sum(), 1)
+    return cls_loss, box_loss
+
+
+def roi_head_postprocess(
+    logits: jnp.ndarray,       # (B*P, num_classes)
+    deltas: jnp.ndarray,       # (B*P, 4*num_reg)
+    proposals: Boxes,          # (B, P)
+    target_ids: jnp.ndarray,   # (B,)
+    box_coder: BoxCoder,
+    score_thresh: float = 0.0,
+    nms_thresh: float = 0.5,
+    detections_per_img: int = 2000,
+    cls_loss_type: str = "ce_loss",
+) -> Boxes:
+    """PostProcessor.forward + filter_results (inference.py:46-167)."""
+    b, p = proposals.valid.shape
+    deltas = deltas[:, :8]  # (inference.py:60)
+    if cls_loss_type == "focal_loss":
+        fg = jax.nn.sigmoid(logits)[:, 0]
+    else:
+        fg = jax.nn.softmax(logits[:, :2], axis=-1)[:, 1]
+    scores = fg.reshape(b, p)
+
+    decoded = box_coder.decode(deltas, proposals.xyxy.reshape(-1, 4))  # (B*P, 8)
+    boxes_fg = decoded.reshape(b, p, -1)[..., 4:8]  # class-1 slot
+
+    # clip to image
+    w = proposals.size[..., 0:1]
+    h = proposals.size[..., 1:2]
+    boxes_fg = jnp.stack(
+        [
+            jnp.clip(boxes_fg[..., 0], 0, w - 1),
+            jnp.clip(boxes_fg[..., 1], 0, h - 1),
+            jnp.clip(boxes_fg[..., 2], 0, w - 1),
+            jnp.clip(boxes_fg[..., 3], 0, h - 1),
+        ],
+        axis=-1,
+    )
+
+    valid = proposals.valid & (scores > score_thresh)
+    keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, 0, None))(
+        boxes_fg, scores, valid, nms_thresh
+    )
+    ranked = jnp.where(keep, scores, -jnp.inf)
+    k = min(detections_per_img, p)
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    out_boxes = jnp.take_along_axis(boxes_fg, top_idx[..., None], axis=1)
+    out_valid = top_scores > -jnp.inf
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    labels = jnp.broadcast_to(target_ids[:, None], (b, k)).astype(jnp.int32)
+
+    return Boxes(
+        xyxy=out_boxes,
+        valid=out_valid,
+        size=proposals.size,
+        fields={"scores": out_scores, "labels": labels},
+    )
