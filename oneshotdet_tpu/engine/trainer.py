@@ -1,0 +1,150 @@
+"""Training engine: functional train state + jitted data-parallel step.
+
+Replaces engine/trainer.py:38-142 of the reference. The torch loop's
+structure (forward -> loss dict -> backward -> SGD step -> scheduler) becomes
+one pure function jitted over a data mesh; DDP gradient all-reduce becomes
+the psum XLA inserts for the sharded batch axis, and ``reduce_loss_dict``
+(trainer.py:13-35) is simply the replicated loss values.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..structures.boxes import Boxes
+from ..structures.image_batch import ImageBatch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    constants: Any
+    opt_state: Any
+
+
+def create_train_state(model, optimizer, variables) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        constants=variables.get("constants", {}),
+        opt_state=optimizer.init(params),
+    )
+
+
+def batch_to_inputs(batch: Dict[str, jnp.ndarray]):
+    """Convert a flat batch dict into model inputs."""
+    images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
+    supp = ImageBatch(pixels=batch["supp_pixels"], sizes=batch["supp_sizes"])
+    sizes_wh = batch["query_sizes"][:, ::-1]
+    targets = Boxes(
+        xyxy=batch["gt_xyxy"],
+        valid=batch["gt_valid"],
+        size=sizes_wh,
+        fields={"labels": batch["gt_labels"]},
+    )
+    return images, supp, targets
+
+
+def make_train_step(model, optimizer) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng):
+        images, supp, targets = batch_to_inputs(batch)
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params, "constants": state.constants},
+                images, supp, targets, train=True, rng=step_rng,
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """jit with explicit shardings: state replicated, batch on the data axis."""
+    replicated = NamedSharding(mesh, P())
+
+    def batch_sharding(x):
+        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, None, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def do_train(
+    cfg,
+    model,
+    train_step,
+    state: TrainState,
+    data_loader,
+    mesh,
+    checkpointer=None,
+    meters=None,
+    start_iter: int = 0,
+    log_period: int = 100,
+    logger=None,
+):
+    """Iteration loop (reference engine/trainer.py:38-142)."""
+    from ..parallel.mesh import shard_batch
+
+    rng = jax.random.PRNGKey(6666)
+    max_iter = cfg.SOLVER.MAX_ITER
+    t_data = t_step = 0.0
+    t0 = time.time()
+    it = start_iter
+    for batch in data_loader:
+        if it >= max_iter:
+            break
+        t1 = time.time()
+        batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch, rng)
+        if (it + 1) % log_period == 0 or it + 1 == max_iter:
+            jax.block_until_ready(metrics)
+        t2 = time.time()
+        t_data += t1 - t0
+        t_step += t2 - t1
+        if meters is not None:
+            meters.update(**{k: float(v) for k, v in metrics.items()})
+        if (it + 1) % log_period == 0:
+            msg = (
+                f"iter {it + 1}/{max_iter} "
+                f"loss {float(metrics['loss_total']):.4f} "
+                f"load {t_data / log_period:.3f}s comp {t_step / log_period:.3f}s"
+            )
+            if logger:
+                logger.info(msg)
+            else:
+                print(msg, flush=True)
+            t_data = t_step = 0.0
+        if checkpointer is not None and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            checkpointer.save(f"model_{it + 1:07d}", state)
+        t0 = time.time()
+        it += 1
+    if checkpointer is not None:
+        checkpointer.save("model_final", state)
+    return state

@@ -74,11 +74,18 @@ class FPN(nn.Module):
         inner4 = _conv(self.out_channels, 1, name="fpn_inner3", dtype=self.dtype)(c4)
         inner5 = _conv(self.out_channels, 1, name="fpn_inner4", dtype=self.dtype)(c5)
 
+        def top_down(lateral, top):
+            up = upsample_nearest_2x(top)
+            # crop to the lateral's extent — needed when the input is not
+            # divisible by 32 (the reference asserts SIZE_DIVISIBILITY instead)
+            up = up[:, : lateral.shape[1], : lateral.shape[2], :]
+            return lateral + up
+
         last = inner5
         p5 = _conv(self.out_channels, 3, name="fpn_layer4", dtype=self.dtype)(last)
-        last = inner4 + upsample_nearest_2x(last)
+        last = top_down(inner4, last)
         p4 = _conv(self.out_channels, 3, name="fpn_layer3", dtype=self.dtype)(last)
-        last = inner3 + upsample_nearest_2x(last)
+        last = top_down(inner3, last)
         p3 = _conv(self.out_channels, 3, name="fpn_layer2", dtype=self.dtype)(last)
 
         p6_in = c5 if self.use_c5_for_p6 else p5

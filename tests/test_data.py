@@ -1,0 +1,224 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from oneshotdet_tpu.config import cfg
+from oneshotdet_tpu.data.collate import BatchCollator
+from oneshotdet_tpu.data.datasets.coco import COCODataset
+from oneshotdet_tpu.data.evaluation.coco_eval import do_coco_evaluation
+from oneshotdet_tpu.data.evaluation.coco_metrics import COCOEvalNumpy
+from oneshotdet_tpu.data.evaluation.voc_eval import eval_detection_voc
+from oneshotdet_tpu.data.samplers import DistributedSampler, iteration_based_batches
+from oneshotdet_tpu.data.transforms import Normalize, Resize, build_transforms, get_resize_size
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(tmp_path_factory):
+    """A tiny COCO-format dataset on disk: 6 images, 2 categories."""
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(6):
+        w, h = 120 + 10 * i, 100
+        arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+        name = f"{i:06d}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        images.append({"id": i + 1, "file_name": name, "width": w, "height": h})
+        # one big annotation of cat (i % 2) + 1 and one small one
+        cat = (i % 2) + 1
+        annotations.append({
+            "id": ann_id, "image_id": i + 1, "category_id": cat,
+            "bbox": [10, 10, 90, 80], "area": 7200.0, "iscrowd": 0,
+        })
+        ann_id += 1
+        annotations.append({
+            "id": ann_id, "image_id": i + 1, "category_id": cat,
+            "bbox": [2, 2, 10, 10], "area": 100.0, "iscrowd": 0,
+        })
+        ann_id += 1
+    ds = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "widget"}, {"id": 2, "name": "gadget"}],
+    }
+    ann_file = root / "instances.json"
+    ann_file.write_text(json.dumps(ds))
+    return str(ann_file), str(img_dir)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    c = cfg.clone()
+    c.FEW_SHOT.TRAINING_EXCL_CATS = []
+    c.INPUT.MIN_SIZE_TRAIN = (64,)
+    c.INPUT.MAX_SIZE_TRAIN = 96
+    c.INPUT.SUPP_MIN_SIZE_TRAIN = (32,)
+    c.INPUT.SUPP_MAX_SIZE_TRAIN = 48
+    c.INPUT.SUPP_AREA_THRESHOLD = 100
+    c.TPU.QUERY_BUCKETS = ((96, 96), (96, 128))
+    c.TPU.SUPP_BUCKET = (64, 64)
+    c.TPU.MAX_GT_BOXES = 4
+    return c
+
+
+def test_resize_semantics():
+    # min-side to 800 capped by max 1200: a 480x640 image -> 800 min side
+    # would make max side 1066 <= 1200, so min side = 800
+    assert get_resize_size((640, 480), 800, 1200) == (800, 1066)
+    # a very wide image hits the max-side cap (transforms.py:43-47)
+    assert get_resize_size((2000, 500), 800, 1200) == (300, 1200)
+
+
+def test_normalize_bgr255():
+    img = Image.new("RGB", (4, 4), (255, 0, 0))  # pure red
+    n = Normalize([102.9801, 115.9465, 122.7717], [1.0, 1.0, 1.0], to_bgr255=True)
+    arr, _ = n(img, None)
+    # BGR: channel 0 = blue = 0 -> -102.98; channel 2 = red = 255 -> 132.23
+    np.testing.assert_allclose(arr[0, 0, 0], -102.9801, atol=1e-3)
+    np.testing.assert_allclose(arr[0, 0, 2], 255 - 122.7717, atol=1e-3)
+
+
+def test_episodic_dataset(synthetic_coco, small_cfg):
+    ann_file, img_dir = synthetic_coco
+    transforms = build_transforms(small_cfg, is_train=True)
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=True, transforms=transforms)
+    # episodic length = sum over categories of images containing it = 6
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["img"].ndim == 3 and item["img"].shape[2] == 3
+    assert len(item["img_supp"]) == 1
+    assert item["boxes"].shape[1] == 4
+    assert (item["labels"] == 1).all()
+    assert item["target_id"] in (1, 2)
+    # deterministic episodic shuffle (seed 6666)
+    ds2 = COCODataset(small_cfg, ann_file, img_dir, is_train=True, transforms=transforms)
+    assert ds.ids == ds2.ids and ds.chosen_cats == ds2.chosen_cats
+
+
+def test_class_exclusion(synthetic_coco, small_cfg):
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.FEW_SHOT.TRAINING_EXCL_CATS = [1]  # contiguous id 1 -> json cat 1
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=None)
+    assert all(cat == 2 for cat in ds.chosen_cats)
+
+
+def test_selected_cls_filter(synthetic_coco, small_cfg):
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.FEW_SHOT.TEST_SELECTED_CLS = 2
+    ds = COCODataset(c, ann_file, img_dir, is_train=False, transforms=None)
+    assert all(cat == 2 for cat in ds.chosen_cats)
+    assert len(ds) == 3
+
+
+def test_collator_buckets(synthetic_coco, small_cfg):
+    ann_file, img_dir = synthetic_coco
+    transforms = build_transforms(small_cfg, is_train=True)
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=True, transforms=transforms)
+    coll = BatchCollator(small_cfg)
+    batch = coll([ds[0], ds[1]])
+    assert batch["query_pixels"].shape[0] == 2
+    h, w = batch["query_pixels"].shape[1:3]
+    assert (h, w) in ((96, 96), (96, 128))
+    assert batch["gt_xyxy"].shape == (2, 4, 4)
+    assert batch["supp_pixels"].shape[0] == 2
+    assert batch["gt_valid"].any()
+
+
+def test_distributed_sampler_partition():
+    s0 = DistributedSampler(10, num_replicas=2, rank=0, shuffle=False)
+    s1 = DistributedSampler(10, num_replicas=2, rank=1, shuffle=False)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 5
+    assert sorted(i0 + i1) == list(range(10))
+
+
+def test_iteration_based_batches_resume():
+    s = DistributedSampler(10, shuffle=False)
+    batches = list(iteration_based_batches(s, 2, num_iterations=8, start_iter=3))
+    assert len(batches) == 5  # 8 - 3
+
+
+def test_coco_metrics_perfect_detection():
+    gt = {(0, 1): [{"bbox": [10, 10, 50, 50], "area": 2500.0, "iscrowd": 0}]}
+    dt = {(0, 1): [{"bbox": [10, 10, 50, 50], "score": 0.9}]}
+    ev = COCOEvalNumpy(gt, dt, [1], [0]).evaluate_and_accumulate()
+    res = ev.summarize()
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_coco_metrics_half_iou():
+    # shifted detection with IoU ~ 0.5: passes only low thresholds
+    gt = {(0, 1): [{"bbox": [0, 0, 100, 100], "area": 10000.0, "iscrowd": 0}]}
+    dt = {(0, 1): [{"bbox": [30, 0, 100, 100], "score": 0.9}]}  # iou = 70/130
+    ev = COCOEvalNumpy(gt, dt, [1], [0]).evaluate_and_accumulate()
+    res = ev.summarize()
+    assert res["AP50"] == pytest.approx(1.0)
+    assert res["AP75"] == pytest.approx(0.0)
+    assert 0.0 < res["AP"] < 1.0
+
+
+def test_coco_metrics_false_positive_ranking():
+    gt = {(0, 1): [{"bbox": [0, 0, 50, 50], "area": 2500.0, "iscrowd": 0}]}
+    dt = {(0, 1): [
+        {"bbox": [200, 200, 50, 50], "score": 0.95},  # FP ranked first
+        {"bbox": [0, 0, 50, 50], "score": 0.9},
+    ]}
+    res = COCOEvalNumpy(gt, dt, [1], [0]).evaluate_and_accumulate().summarize()
+    # precision at recall 1.0 is 0.5 -> AP50 ~ 0.5 (101-pt interp)
+    assert 0.4 < res["AP50"] <= 0.51
+
+
+def test_do_coco_evaluation_end_to_end(synthetic_coco, small_cfg, tmp_path):
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+    predictions = []
+    for i in range(len(ds)):
+        img_id = ds.ids[i]
+        cat = ds.chosen_cats[i]
+        anns = ds.coco.loadAnns(ds.coco.getAnnIds(imgIds=img_id, catIds=cat, iscrowd=False))
+        info = ds.coco.imgs[img_id]
+        boxes = []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w - 1, y + h - 1])
+        predictions.append({
+            "boxes": np.array(boxes, np.float64),
+            "scores": np.linspace(0.9, 0.8, len(boxes)),
+            "input_size": (info["width"], info["height"]),
+        })
+    res = do_coco_evaluation(ds, predictions, output_folder=str(tmp_path))
+    assert res["AP50"] == pytest.approx(1.0, abs=1e-6)
+    assert os.path.exists(tmp_path / "coco_custom_gt.json")
+
+
+def test_voc_eval_perfect_and_missed():
+    gt = [{"boxes": np.array([[0, 0, 49, 49], [60, 60, 99, 99]]),
+           "labels": np.array([1, 1]), "difficult": np.array([False, False])}]
+    pred = [{"boxes": np.array([[0, 0, 49, 49]]), "scores": np.array([0.9]),
+             "labels": np.array([1])}]
+    res = eval_detection_voc(pred, gt, use_07_metric=True)
+    # one of two gts found at full precision: recall 0.5 -> 11-pt AP ~ 6/11
+    assert res["ap"][1] == pytest.approx(6 / 11, abs=1e-6)
+
+    pred_full = [{"boxes": np.array([[0, 0, 49, 49], [60, 60, 99, 99]]),
+                  "scores": np.array([0.9, 0.8]), "labels": np.array([1, 1])}]
+    res = eval_detection_voc(pred_full, gt, use_07_metric=True)
+    assert res["ap"][1] == pytest.approx(1.0)
+
+
+def test_voc_eval_difficult_ignored():
+    gt = [{"boxes": np.array([[0, 0, 49, 49]]), "labels": np.array([1]),
+           "difficult": np.array([True])}]
+    pred = [{"boxes": np.array([[0, 0, 49, 49]]), "scores": np.array([0.9]),
+             "labels": np.array([1])}]
+    res = eval_detection_voc(pred, gt, use_07_metric=True)
+    assert np.isnan(res["ap"][1])  # no non-difficult gt -> undefined AP

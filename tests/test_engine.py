@@ -1,0 +1,93 @@
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oneshotdet_tpu.config import cfg
+from oneshotdet_tpu.solver import make_optimizer, make_param_labels, warmup_multistep_schedule
+
+
+def test_warmup_multistep_schedule_linear():
+    s = warmup_multistep_schedule(1.0, (100, 200), gamma=0.1,
+                                  warmup_factor=1 / 3, warmup_iters=10,
+                                  warmup_method="linear")
+    assert float(s(0)) == pytest.approx(1 / 3)
+    assert float(s(5)) == pytest.approx(1 / 3 * 0.5 + 0.5)
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(150)) == pytest.approx(0.1)
+    assert float(s(250)) == pytest.approx(0.01)
+
+
+def test_warmup_constant():
+    s = warmup_multistep_schedule(2.0, (), warmup_factor=0.25, warmup_iters=100,
+                                  warmup_method="constant")
+    assert float(s(50)) == pytest.approx(0.5)
+    assert float(s(100)) == pytest.approx(2.0)
+
+
+def test_param_labels_bias_and_frozen():
+    params = {
+        "backbone": {
+            "body": {
+                "stem": {"conv1": {"kernel": jnp.zeros(1)}},
+                "layer1_0": {"conv1": {"kernel": jnp.zeros(1)}},
+                "layer2_0": {"conv1": {"kernel": jnp.zeros(1)}},
+            },
+            "fpn": {"fpn_inner2": {"kernel": jnp.zeros(1), "bias": jnp.zeros(1)}},
+        },
+        "fcos_head": {"cls_logits": {"kernel": jnp.zeros(1), "bias": jnp.zeros(1)}},
+    }
+    labels = make_param_labels(params, untrained_keywords=(), freeze_conv_body_at=2)
+    assert labels["backbone"]["body"]["stem"]["conv1"]["kernel"] == "frozen"
+    assert labels["backbone"]["body"]["layer1_0"]["conv1"]["kernel"] == "frozen"
+    assert labels["backbone"]["body"]["layer2_0"]["conv1"]["kernel"] == "weight"
+    assert labels["backbone"]["fpn"]["fpn_inner2"]["bias"] == "bias"
+    assert labels["fcos_head"]["cls_logits"]["kernel"] == "weight"
+
+
+def test_param_labels_untrained_keyword():
+    params = {"roi_head": {"fc6": {"kernel": jnp.zeros(1)}},
+              "fcos_head": {"cls_logits": {"kernel": jnp.zeros(1)}}}
+    labels = make_param_labels(params, untrained_keywords=("roi_head",),
+                               freeze_conv_body_at=0)
+    assert labels["roi_head"]["fc6"]["kernel"] == "frozen"
+    assert labels["fcos_head"]["cls_logits"]["kernel"] == "weight"
+
+
+def test_optimizer_frozen_params_never_move():
+    c = cfg.clone()
+    c.SOLVER.BASE_LR = 0.1
+    c.SOLVER.WARMUP_ITERS = 0
+    params = {
+        "backbone": {"body": {"stem": {"conv1": {"kernel": jnp.ones(4)}},
+                              "layer2_0": {"conv1": {"kernel": jnp.ones(4)}}}},
+    }
+    tx, _ = make_optimizer(c, params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["backbone"]["body"]["stem"]["conv1"]["kernel"]).sum()) == 0
+    assert float(jnp.abs(updates["backbone"]["body"]["layer2_0"]["conv1"]["kernel"]).sum()) > 0
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8_devices():
+    """The full DP train step on the virtual 8-device CPU mesh."""
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    assert len(jax.devices()) >= 8
+    dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_entry_forward():
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, example_args = entry()
+    out = jax.jit(fn)(*example_args)
+    jax.block_until_ready(out)
+    assert out[0].shape[0] == 1
