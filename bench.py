@@ -34,6 +34,12 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # persistent compilation cache: first-ever compile over the device
+    # tunnel is minutes; subsequent bench runs hit the disk cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from oneshotdet_tpu.config import cfg
@@ -70,7 +76,8 @@ def main():
     # of tiny ops — minutes of round-trips), then transfer params once.
     t0 = time.time()
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    with jax.default_device(cpu), disable_pallas():
         small_images = ImageBatch(
             pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]])
         )

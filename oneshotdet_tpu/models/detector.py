@@ -222,8 +222,13 @@ class GeneralizedRCNN(nn.Module):
             combined.append(f * pooled.astype(f.dtype))
         return combined
 
-    def _pool_rois(self, features, boxes: Boxes):
-        """Multi-level 7x7 pooling of batched padded Boxes -> (B*P, 7, 7, C)."""
+    def _pool_rois(self, features, boxes: Boxes, use_pallas: bool = False):
+        """Multi-level 7x7 pooling of batched padded Boxes -> (B*P, 7, 7, C).
+
+        Uses the Pallas windowed-DMA kernel on TPU (ops/pallas_roi_align.py);
+        falls back to the XLA gather formulation elsewhere (CPU tests,
+        interpret-mode debugging).
+        """
         c = self.config
         b, p = boxes.valid.shape
         flat_xyxy = boxes.xyxy.reshape(-1, 4)
@@ -234,6 +239,17 @@ class GeneralizedRCNN(nn.Module):
         levels = fpn_level_map(flat_xyxy, k_min, k_max) if len(c.pooler_scales) > 1 else jnp.zeros(
             (b * p,), jnp.int32
         )
+        # the Pallas kernel is forward-only: eval path only
+        from ..ops.pallas_roi_align import pallas_enabled
+
+        if use_pallas and pallas_enabled():
+            from ..ops.pallas_roi_align import pallas_multilevel_roi_align
+
+            return pallas_multilevel_roi_align(
+                features, rois, levels,
+                (c.pooler_resolution, c.pooler_resolution),
+                c.pooler_scales, c.pooler_sampling_ratio,
+            )
         return multilevel_roi_align(
             features, rois, levels,
             (c.pooler_resolution, c.pooler_resolution),
@@ -260,6 +276,70 @@ class GeneralizedRCNN(nn.Module):
         shot = pooled.shape[0] // batch_size
         r = c.pooler_resolution
         return pooled.reshape(batch_size, shot, r, r, -1).mean(axis=1)
+
+    # -- streaming-predictor support caching --------------------------------
+
+    def compute_support_features(self, images_supp: ImageBatch, batch_size: int = 1):
+        """Run the support branch once; returns (pooled_1x1 per level, supp_7x7).
+
+        The reference's demo path never supported the Siamese forward
+        (predictor.py:205 calls model(image_list) single-arg — SURVEY §3.4);
+        this is the fixed design: support features are computed once per
+        class and reused across frames.
+        """
+        c = self.config
+        features_supp = self._supp_features(images_supp)
+        rois = _whole_image_rois(images_supp.sizes)
+        pooled = []
+        for lvl, fs in enumerate(features_supp):
+            if c.supp_roialign:
+                p = roi_align(fs, rois, (1, 1), c.pooler_scales[lvl], c.pooler_sampling_ratio)
+            else:
+                p = fs.mean(axis=(1, 2), keepdims=True)
+            shot = p.shape[0] // batch_size
+            pooled.append(p.reshape(batch_size, shot, 1, 1, -1).mean(axis=1))
+        supp_7x7 = self._supp_roi_7x7(features_supp, images_supp.sizes, batch_size)
+        return pooled, supp_7x7
+
+    def detect_with_support(
+        self,
+        images: ImageBatch,
+        supp_pooled,          # list of (B, 1, 1, C) per level
+        supp_7x7,             # (B, 7, 7, C)
+        target_ids=None,
+    ):
+        """Eval forward with precomputed (cached) support features."""
+        c = self.config
+        b = images.batch_size
+        features = self.backbone(images.pixels.astype(self.dtype))
+        combined = [f * p.astype(f.dtype) for f, p in zip(features, supp_pooled)]
+        logits, bbox_reg, ctrness = self.fcos_head(combined)
+        shapes = [(f.shape[1], f.shape[2]) for f in combined]
+        locations = compute_locations(shapes, c.fpn_strides)
+        proposals = fcos_postprocess(
+            locations, logits, bbox_reg, ctrness, images.sizes_wh(),
+            c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
+            c.nms_pre_topk, 0.0, c.score_mode,
+        )
+        if c.rpn_only:
+            return proposals
+        roi_feats = self._pool_rois(features, proposals, use_pallas=True)
+        n = roi_feats.shape[0]
+        r = c.pooler_resolution
+        supp_exp = jnp.broadcast_to(
+            supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
+        ).reshape(n, r, r, -1)
+        cls_logits, box_deltas = self.roi_head(
+            roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+        )
+        if target_ids is None:
+            target_ids = jnp.ones((b,), jnp.int32)
+        return roi_head_postprocess(
+            cls_logits, box_deltas, proposals, target_ids,
+            BoxCoder(c.bbox_reg_weights), c.roi_score_thresh,
+            c.roi_nms_thresh, c.roi_detections_per_img,
+            c.second_stage_cls_loss,
+        )
 
     # -- forward ----------------------------------------------------------
 
@@ -371,7 +451,7 @@ class GeneralizedRCNN(nn.Module):
             return losses
 
         # eval: score every proposal against the support
-        roi_feats = self._pool_rois(features, proposals)
+        roi_feats = self._pool_rois(features, proposals, use_pallas=True)
         n = roi_feats.shape[0]
         r = c.pooler_resolution
         supp_exp = jnp.broadcast_to(

@@ -309,3 +309,57 @@ def multilevel_roi_align(
     out = jnp.where(in_range[..., None], out, 0.0)
     r = rois.shape[0]
     return out.reshape(r, pooled_h, g, pooled_w, g, c).mean(axis=(2, 4))
+
+
+def roi_pool(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size,
+    spatial_scale: float,
+) -> jnp.ndarray:
+    """ROIPool (max pooling) — csrc/cuda/ROIPool_cuda.cu equivalent.
+
+    Quantized bin edges (round down start, round up end), max over each bin,
+    empty bins yield 0. Implemented via a fixed sample grid per bin (dense
+    enough to hit every cell: bins are at most ceil(roi/pool) cells, sampled
+    at cell centers) — static shapes; autodiff gives the argmax-style
+    (subgradient) backward for free.
+
+    Args:
+      features: (B, H, W, C) NHWC.
+      rois: (R, 5) (batch_idx, x1, y1, x2, y2).
+    Returns: (R, pooled_h, pooled_w, C).
+    """
+    pooled_h, pooled_w = output_size
+    b_idx = rois[:, 0].astype(jnp.int32)
+    height, width = features.shape[1], features.shape[2]
+
+    x1 = jnp.round(rois[:, 1] * spatial_scale)
+    y1 = jnp.round(rois[:, 2] * spatial_scale)
+    x2 = jnp.round(rois[:, 3] * spatial_scale)
+    y2 = jnp.round(rois[:, 4] * spatial_scale)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1.0)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1.0)
+    bin_w = roi_w / pooled_w
+    bin_h = roi_h / pooled_h
+
+    # sample grid: S cells per bin side, S chosen to cover the largest bin
+    max_bin = int(jnp.ceil(jnp.maximum(height, width) / min(pooled_h, pooled_w)))
+    s = min(max(max_bin, 1), 16)  # cap for compile size; covers bins <= 16 px
+
+    ph = jnp.arange(pooled_h, dtype=jnp.float32)
+    pw = jnp.arange(pooled_w, dtype=jnp.float32)
+    fr = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+
+    ys = y1[:, None, None] + (ph[None, :, None] + fr[None, None, :]) * bin_h[:, None, None]
+    xs = x1[:, None, None] + (pw[None, :, None] + fr[None, None, :]) * bin_w[:, None, None]
+    yi = jnp.clip(jnp.floor(ys), 0, height - 1).astype(jnp.int32)   # (R, Ph, S)
+    xi = jnp.clip(jnp.floor(xs), 0, width - 1).astype(jnp.int32)    # (R, Pw, S)
+
+    r = rois.shape[0]
+    yy = yi[:, :, None, :, None]                                     # (R,Ph,1,S,1)
+    xx = xi[:, None, :, None, :]                                     # (R,1,Pw,1,S)
+    yy = jnp.broadcast_to(yy, (r, pooled_h, pooled_w, s, s))
+    xx = jnp.broadcast_to(xx, (r, pooled_h, pooled_w, s, s))
+    vals = features[b_idx[:, None, None, None, None], yy, xx]        # (...,C)
+    return vals.max(axis=(3, 4))

@@ -56,7 +56,8 @@ def main():
     # init shapes on CPU
     first = next(iter(loader))
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    with jax.default_device(cpu), disable_pallas():
         images, supp, targets = batch_to_inputs(
             {k: jnp.asarray(v) for k, v in first.items() if k not in ("img_ids", "idxs")}
         )

@@ -74,7 +74,8 @@ def main():
     loader, dataset = make_data_loader(c, is_train=True)
     first_batch = next(iter(loader))
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    with jax.default_device(cpu), disable_pallas():
         images, supp, targets = batch_to_inputs(
             {k: jnp.asarray(v[:1] if v.ndim else v) for k, v in first_batch.items()
              if k not in ("img_ids", "idxs")}
