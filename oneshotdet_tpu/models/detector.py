@@ -249,6 +249,7 @@ class GeneralizedRCNN(nn.Module):
                 features, rois, levels,
                 (c.pooler_resolution, c.pooler_resolution),
                 c.pooler_scales, c.pooler_sampling_ratio,
+                valid=boxes.valid.reshape(-1),
             )
         return multilevel_roi_align(
             features, rois, levels,
