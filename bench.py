@@ -25,7 +25,7 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 625.0  # 5000 img/s on v5e-8 (BASELINE.md)
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))

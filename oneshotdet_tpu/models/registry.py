@@ -37,3 +37,26 @@ def build_backbone(cfg, dtype):
     name = cfg.MODEL.BACKBONE.CONV_BODY
     assert name in BACKBONES, f"{name} not registered in BACKBONES"
     return BACKBONES[name](cfg, dtype)
+
+
+def _mnv2_fpn_retinanet(cfg, dtype):
+    from flax import linen as nn
+
+    from .fpn import FPN
+    from .mobilenet import MobileNetV2
+
+    class _MNV2FPN(nn.Module):
+        dtype_: object = dtype
+
+        @nn.compact
+        def __call__(self, x):
+            cs = MobileNetV2(dtype=self.dtype_, name="body")(x)
+            return FPN(
+                out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+                use_c5_for_p6=False, dtype=self.dtype_, name="fpn",
+            )(cs)
+
+    return _MNV2FPN()
+
+
+BACKBONES.register("MNV2-FPN-RETINANET", _mnv2_fpn_retinanet)
