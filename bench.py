@@ -31,6 +31,7 @@ def main():
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mode", default="eval", choices=["eval", "train"])
     args = p.parse_args()
 
     import jax
@@ -60,6 +61,10 @@ def main():
     qh, qw = args.query_hw
     sh, sw = args.supp_hw
     b = args.batch
+
+    if args.mode == "train":
+        run_train_bench(c, args)
+        return
 
     model = build_detection_model(c)
     rng = np.random.RandomState(0)
@@ -136,6 +141,87 @@ def main():
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+def run_train_bench(c, args):
+    """Steady-state training-step throughput on one chip (data mesh of 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.engine import create_train_state, jit_train_step, make_train_step
+    from oneshotdet_tpu.engine.trainer import batch_to_inputs
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    from oneshotdet_tpu.parallel import make_mesh, shard_batch
+    from oneshotdet_tpu.solver import make_optimizer
+    from oneshotdet_tpu.utils.synthetic import make_episodic_batch
+
+    b = args.batch
+    qh, qw = args.query_hw
+    sh, sw = args.supp_hw
+    model = build_detection_model(c)
+    mesh = make_mesh(("data",), jax.devices()[:1])
+
+    variants = []
+    for i in range(3):
+        batch = make_episodic_batch(b, (qh, qw), (sh, sw),
+                                    max_gt=c.TPU.MAX_GT_BOXES, seed=i)
+        variants.append({k: jnp.asarray(v) for k, v in batch.items()
+                         if k not in ("img_ids", "idxs")})
+
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu), disable_pallas():
+        small = make_episodic_batch(1, (64, 64), (64, 64), max_gt=4)
+        images, supp, targets = batch_to_inputs(
+            {k: jnp.asarray(v) for k, v in small.items() if k not in ("img_ids", "idxs")}
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                               targets, train=True, rng=jax.random.PRNGKey(1))
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    optimizer, _ = make_optimizer(c, variables["params"])
+    state = create_train_state(model, optimizer, variables)
+    from oneshotdet_tpu.parallel.mesh import replicate
+
+    state = replicate(state, mesh)
+    train_step = jit_train_step(make_train_step(model, optimizer), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    batch0 = shard_batch(variants[0], mesh)
+    state, metrics = train_step(state, batch0, rng)
+    jax.block_until_ready(metrics)
+    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    sharded = [shard_batch(v, mesh) for v in variants]
+    for i in range(args.warmup):
+        state, metrics = train_step(state, sharded[i % 3], rng)
+    jax.block_until_ready((metrics, state.params))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = train_step(state, sharded[i % 3], rng)
+    # block on the updated params too — blocking on the scalar metrics alone
+    # lets the runtime skip materializing the rest
+    jax.block_until_ready((metrics, state.params))
+    dt = time.perf_counter() - t0
+    s_per_iter = dt / args.iters
+    # reference Faster R-CNN R-50-FPN train baseline: 0.3530 s/iter on 8xV100
+    # at global batch 16 -> 0.1765 s/iter per-GPU-pair... we report s/iter at
+    # this batch and img/s/chip; vs_baseline compares img/s to the reference's
+    # global 16/0.353 = 45.3 img/s on EIGHT GPUs = 5.67 img/s per GPU.
+    img_per_sec = args.batch / s_per_iter
+    print(f"{s_per_iter * 1000:.1f} ms/iter, batch {args.batch}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "oneshot_train_images_per_sec_per_chip",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_sec / 5.67, 4),
             }
         )
     )

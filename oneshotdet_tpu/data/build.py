@@ -23,7 +23,8 @@ from .datasets.coco import COCODataset
 from .paths_catalog import DatasetCatalog
 from .samplers import (
     DistributedSampler,
-    group_indices_by_orientation,
+    grouped_batches,
+    grouped_iteration_batches,
     iterate_batches,
     iteration_based_batches,
 )
@@ -104,12 +105,22 @@ def make_data_loader(
         rank=rank if is_distributed else 0,
         shuffle=False,  # episodic list is pre-shuffled (build.py:119)
     )
+    grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING or len(cfg.TPU.QUERY_BUCKETS) > 1
     if is_train:
-        batch_iter = iteration_based_batches(
-            sampler, images_per_batch, num_iters, start_iter
-        )
+        if grouping:
+            batch_iter = grouped_iteration_batches(
+                dataset, sampler, images_per_batch, num_iters, start_iter
+            )
+        else:
+            batch_iter = iteration_based_batches(
+                sampler, images_per_batch, num_iters, start_iter
+            )
     else:
-        batch_iter = iterate_batches(sampler, images_per_batch, drop_last=False)
+        if grouping:
+            batch_iter = grouped_batches(dataset, sampler, images_per_batch,
+                                         drop_last=False)
+        else:
+            batch_iter = iterate_batches(sampler, images_per_batch, drop_last=False)
 
     return PrefetchingLoader(
         dataset, batch_iter, collator, num_workers=cfg.DATALOADER.NUM_WORKERS

@@ -80,3 +80,38 @@ def group_indices_by_orientation(dataset, indices):
         info, _ = dataset.get_img_info(i)
         (landscape if info["width"] >= info["height"] else portrait).append(i)
     return landscape, portrait
+
+
+def grouped_batches(dataset, sampler, batch_size: int, drop_last: bool = True):
+    """Aspect-ratio-grouped batching (GroupedBatchSampler analog,
+    grouped_batch_sampler.py:9): each batch contains only one orientation so
+    the collator pads into one stable resolution bucket (one XLA program per
+    orientation instead of per batch shape)."""
+    buffers = {True: [], False: []}
+    for idx in sampler:
+        info, _ = dataset.get_img_info(idx)
+        key = info["width"] >= info["height"]
+        buffers[key].append(idx)
+        if len(buffers[key]) == batch_size:
+            yield buffers[key]
+            buffers[key] = []
+    if not drop_last:
+        for buf in buffers.values():
+            if buf:
+                yield buf
+
+
+def grouped_iteration_batches(dataset, sampler, batch_size: int,
+                              num_iterations: int, start_iter: int = 0):
+    """Infinite orientation-grouped stream with start_iter resume."""
+    iteration = start_iter
+    epoch = 0
+    while iteration < num_iterations:
+        if hasattr(sampler, "set_epoch"):
+            sampler.set_epoch(epoch)
+        for batch in grouped_batches(dataset, sampler, batch_size, drop_last=True):
+            if iteration >= num_iterations:
+                return
+            iteration += 1
+            yield batch
+        epoch += 1

@@ -103,6 +103,10 @@ class DetectorConfig:
     num_shot: int = 1
     supp_roialign: bool = True
     max_gt: int = 64
+    soft_labeling: bool = False
+    soft_labeling_func: str = "linear"
+    reverse_order: bool = False
+    loss_weighted: bool = False
 
 
 def detector_config_from_cfg(cfg) -> DetectorConfig:
@@ -153,6 +157,10 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         num_shot=cfg.FEW_SHOT.NUM_SHOT,
         supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
         max_gt=cfg.TPU.MAX_GT_BOXES,
+        soft_labeling=cfg.FEW_SHOT.SOFT_LABELING,
+        soft_labeling_func=cfg.FEW_SHOT.SOFT_LABELING_FUNC,
+        reverse_order=cfg.FEW_SHOT.REVERSE_ORDER,
+        loss_weighted=cfg.FEW_SHOT.LOSS_WEIGHTED,
     )
 
 
@@ -352,6 +360,7 @@ class GeneralizedRCNN(nn.Module):
         target_ids: Optional[jnp.ndarray] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        images_neg_supp: Optional[ImageBatch] = None,
     ):
         """Returns a dict of losses (train) or detection Boxes (eval)."""
         c = self.config
@@ -419,11 +428,18 @@ class GeneralizedRCNN(nn.Module):
             proposals = cat_boxes(proposals, gt_as_props)
 
             rng_sample = jax.random.fold_in(rng, 1)
-            idx, s_valid, roi_labels, roi_reg_t = prepare_roi_targets(
+            prep = prepare_roi_targets(
                 rng_sample, proposals, targets, BoxCoder(c.bbox_reg_weights),
                 c.roi_batch_size_per_image, c.roi_positive_fraction,
                 c.roi_fg_iou, c.roi_bg_iou,
+                soft_labeling=c.soft_labeling,
+                soft_labeling_func=c.soft_labeling_func,
             )
+            soft_labels = None
+            if c.soft_labeling:
+                idx, s_valid, roi_labels, roi_reg_t, soft_labels = prep
+            else:
+                idx, s_valid, roi_labels, roi_reg_t = prep
             sampled = Boxes(
                 xyxy=jnp.take_along_axis(proposals.xyxy, idx[..., None], axis=1),
                 valid=s_valid,
@@ -439,12 +455,37 @@ class GeneralizedRCNN(nn.Module):
             cls_logits, box_deltas = self.roi_head(
                 roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
             )
-            loss_classifier, loss_box_reg = roi_head_loss(
+            rev_logits = neg_logits = None
+            if c.reverse_order:
+                # swapped concat order pass (box_head.py:143-171)
+                rev_logits, _ = self.roi_head(
+                    supp_exp.astype(self.dtype), roi_feats.astype(self.dtype)
+                )
+            if c.neg_support and images_neg_supp is not None:
+                feats_neg = self._supp_features(images_neg_supp)
+                neg_7x7 = self._supp_roi_7x7(feats_neg, images_neg_supp.sizes, b)
+                neg_exp = jnp.broadcast_to(
+                    neg_7x7[:, None], (b, n // b, r, r, neg_7x7.shape[-1])
+                ).reshape(n, r, r, -1)
+                neg_logits, _ = self.roi_head(
+                    roi_feats.astype(self.dtype), neg_exp.astype(self.dtype)
+                )
+            out = roi_head_loss(
                 cls_logits, box_deltas, roi_labels, roi_reg_t, s_valid,
                 c.second_stage_cls_loss, c.loss_gamma, c.loss_alpha,
                 c.cls_agnostic_bbox_reg,
+                soft_labels=soft_labels, loss_weighted=c.loss_weighted,
+                neg_logits=neg_logits, rev_logits=rev_logits,
             )
-            # x5 / x2.5 weights (box_head.py:193-194)
+            # x5 / x2.5 weights (box_head.py:184-195)
+            if c.reverse_order:
+                loss_classifier, loss_box_reg, rev_loss = out
+                losses.update(loss_reverse=rev_loss)
+            elif neg_logits is not None:
+                loss_classifier, loss_box_reg, suppress = out
+                losses.update(loss_cls_suppress=suppress * 2.5)
+            else:
+                loss_classifier, loss_box_reg = out
             losses.update(
                 loss_classifier=loss_classifier * 5.0,
                 loss_box_reg=loss_box_reg * 2.5,

@@ -112,6 +112,23 @@ class ROIBoxHeadNet(nn.Module):
         return logits, deltas
 
 
+def soft_labeling_function(t: jnp.ndarray, func: str = "linear") -> jnp.ndarray:
+    """IoU -> soft target shaping (loss.py:81-104)."""
+    if func == "discrete":
+        return (t >= 0.5).astype(jnp.float32)
+    if func == "linear":
+        return t
+    if func == "transLinear":
+        upper = (0.2 * t + 0.8) * (t >= 0.5)
+        middle = (2.25 * t - 0.225) * (t >= 0.1) * (t < 0.5)
+        return upper + middle
+    if func == "trans4thLinear":
+        upper = (0.2 * t + 0.8) * (t >= 0.5)
+        lower = 0.9 * ((2 * t) ** 4) * (t < 0.5)
+        return upper + lower
+    raise ValueError(func)
+
+
 def prepare_roi_targets(
     rng: jax.Array,
     proposals: Boxes,      # batched (B, P)
@@ -121,11 +138,14 @@ def prepare_roi_targets(
     positive_fraction: float = 0.25,
     fg_iou_threshold: float = 0.5,
     bg_iou_threshold: float = 0.5,
+    soft_labeling: bool = False,
+    soft_labeling_func: str = "linear",
 ):
     """subsample + target prep (loss.py:106-292) for the whole batch.
 
     Returns (sampled_idx (B, S), sampled_valid (B, S), labels (B, S),
-    reg_targets (B, S, 4)) with S = batch_size_per_image.
+    reg_targets (B, S, 4)[, soft_labels (B, S)]) with
+    S = batch_size_per_image.
     """
 
     def per_image(key, prop_xyxy, prop_valid, gt_xyxy, gt_valid, gt_labels):
@@ -138,6 +158,9 @@ def prepare_roi_targets(
         labels = jnp.where(prop_valid, labels, -1)  # padding is ignored
         matched_gt = jnp.take(gt_xyxy, clamped, axis=0)
         reg_targets = box_coder.encode(matched_gt, prop_xyxy)
+        # matched IoU for soft labels (loss.py:52-62): zero for non-matches
+        match_iou = jnp.take_along_axis(iou, clamped[None, :], axis=0)[0]
+        match_iou = jnp.where(matched >= 0, match_iou, 0.0)
         idx, s_valid = balanced_sample(
             key, labels, prop_valid, batch_size_per_image, positive_fraction
         )
@@ -146,14 +169,20 @@ def prepare_roi_targets(
             s_valid,
             jnp.take(labels, idx),
             jnp.take(reg_targets, idx, axis=0),
+            jnp.take(match_iou, idx),
         )
 
     b = proposals.xyxy.shape[0]
     keys = jax.random.split(rng, b)
-    return jax.vmap(per_image)(
+    idx, s_valid, labels, reg_t, match_iou = jax.vmap(per_image)(
         keys, proposals.xyxy, proposals.valid, gt.xyxy, gt.valid,
         gt.get_field("labels"),
     )
+    if soft_labeling:
+        return idx, s_valid, labels, reg_t, soft_labeling_function(
+            match_iou, soft_labeling_func
+        )
+    return idx, s_valid, labels, reg_t
 
 
 def roi_head_loss(
@@ -166,19 +195,52 @@ def roi_head_loss(
     focal_gamma: float = 2.0,
     focal_alpha: float = 0.25,
     cls_agnostic_bbox_reg: bool = False,
+    soft_labels: jnp.ndarray | None = None,   # (B, S) in [0, 1]
+    loss_weighted: bool = False,
+    neg_logits: jnp.ndarray | None = None,    # (B*S, num_classes)
+    rev_logits: jnp.ndarray | None = None,    # (B*S, num_classes)
 ):
-    """FastRCNNLossComputation.__call__ default path (loss.py:340-393)."""
+    """FastRCNNLossComputation.__call__ (loss.py:306-446): the default path
+    plus the mse/l1/cxe soft-label losses (:360-367), class-weighted CE
+    (:349-357), the neg-support margin suppression (:435-444) and the
+    REVERSE_ORDER consistency loss (:298-304, :371-374).
+
+    Returns (cls_loss, box_loss) or (cls_loss, box_loss, extra) when
+    neg_logits / rev_logits are given.
+    """
     labels_flat = labels.reshape(-1)
     valid_flat = sampled_valid.reshape(-1) & (labels_flat >= 0)
     reg_t_flat = reg_targets.reshape(-1, 4)
     pos = (labels_flat > 0) & valid_flat
+    vf = valid_flat.astype(jnp.float32)
+    denom = jnp.maximum(vf.sum(), 1.0)
+    if soft_labels is not None:
+        soft_flat = soft_labels.reshape(-1)
 
     if cls_loss_type == "ce_loss":
-        cls_loss = cross_entropy(logits, labels_flat, valid=valid_flat)
+        weight = None
+        if loss_weighted:  # fg_weight = 0.75 (loss.py:350-356)
+            weight = jnp.array([0.25] + [0.75] * (logits.shape[-1] - 1))
+        cls_loss = cross_entropy(logits, labels_flat, weight=weight, valid=valid_flat)
     elif cls_loss_type == "focal_loss":
         cls_loss = sigmoid_focal_loss(
             logits, jnp.where(valid_flat, labels_flat, -1), focal_gamma, focal_alpha
         ) / jnp.maximum(pos.sum(), 1)
+    elif cls_loss_type == "mse_loss":
+        target = soft_flat if soft_labels is not None else labels_flat.astype(jnp.float32)
+        p = jax.nn.sigmoid(logits[:, 0])
+        cls_loss = (((p - target) ** 2) * vf).sum() / denom
+    elif cls_loss_type == "l1_loss":
+        target = soft_flat if soft_labels is not None else labels_flat.astype(jnp.float32)
+        p = jax.nn.sigmoid(logits[:, 0])
+        cls_loss = (jnp.abs(p - target) * vf).sum() / denom
+    elif cls_loss_type == "cxe_loss":
+        # CXE over softmax with soft targets (loss.py:294-296)
+        target = soft_flat if soft_labels is not None else labels_flat.astype(jnp.float32)
+        probs = jax.nn.softmax(logits[:, :2], axis=-1)
+        two = jnp.stack([1 - target, target], axis=1)
+        per = -(two * jnp.log(jnp.maximum(probs, 1e-9))).mean(axis=1)
+        cls_loss = (per * vf).sum() / denom
     else:
         raise ValueError(f"unsupported cls loss {cls_loss_type}")
 
@@ -188,9 +250,31 @@ def roi_head_loss(
     else:
         slot = jnp.maximum(labels_flat, 0)
     d = deltas.reshape(deltas.shape[0], -1, 4)
+    slot = jnp.minimum(slot, d.shape[1] - 1)
     picked = jnp.take_along_axis(d, slot[:, None, None].repeat(4, -1), axis=1)[:, 0, :]
     box_l = smooth_l1_loss(picked, reg_t_flat, beta=1.0).sum(-1)
     box_loss = (box_l * pos).sum() / jnp.maximum(valid_flat.sum(), 1)
+
+    if rev_logits is not None:
+        # reverse-order consistency (loss.py:298-304, 371-374):
+        # FOCAL(|softmax(cls) - softmax(rev)|) = -mean(d * log(1 - d + eps))
+        diff = jnp.abs(
+            jax.nn.softmax(logits, axis=-1) - jax.nn.softmax(rev_logits, axis=-1)
+        )
+        per = -(diff * jnp.log(1 - diff + 1e-6))
+        rev_loss = (per.mean(axis=1) * vf).sum() / denom
+        return cls_loss, box_loss, rev_loss
+
+    if neg_logits is not None:
+        # neg-support margin suppression (loss.py:435-444):
+        # relu(neg_fg_score - pos_fg_score + 0.3) over label==1 proposals
+        pos_scores = jax.nn.softmax(logits, axis=-1)[:, 1]
+        neg_scores = jax.nn.softmax(neg_logits, axis=-1)[:, 1]
+        is_fg = ((labels_flat == 1) & valid_flat).astype(jnp.float32)
+        margin = jnp.maximum(neg_scores - pos_scores + 0.3, 0.0)
+        suppress = (margin * is_fg).sum() / jnp.maximum(is_fg.sum(), 1.0)
+        return cls_loss, box_loss, suppress
+
     return cls_loss, box_loss
 
 
@@ -208,9 +292,9 @@ def roi_head_postprocess(
     """PostProcessor.forward + filter_results (inference.py:46-167)."""
     b, p = proposals.valid.shape
     deltas = deltas[:, :8]  # (inference.py:60)
-    if cls_loss_type == "focal_loss":
-        fg = jax.nn.sigmoid(logits)[:, 0]
-    else:
+    if cls_loss_type in ("focal_loss", "mse_loss", "l1_loss"):
+        fg = jax.nn.sigmoid(logits)[:, 0]  # (inference.py:61-63, 67-69)
+    else:  # ce_loss / cxe_loss: 2-way softmax fg prob (inference.py:65-66)
         fg = jax.nn.softmax(logits[:, :2], axis=-1)[:, 1]
     scores = fg.reshape(b, p)
 

@@ -222,3 +222,45 @@ def test_voc_eval_difficult_ignored():
              "labels": np.array([1])}]
     res = eval_detection_voc(pred, gt, use_07_metric=True)
     assert np.isnan(res["ap"][1])  # no non-difficult gt -> undefined AP
+
+
+def test_grouped_batches_single_orientation(synthetic_coco, small_cfg):
+    from oneshotdet_tpu.data.samplers import grouped_batches
+
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=True, transforms=None)
+    batches = list(grouped_batches(ds, range(len(ds)), 2, drop_last=False))
+    assert sum(len(b) for b in batches) == len(ds)
+    for batch in batches:
+        orients = set()
+        for i in batch:
+            info, _ = ds.get_img_info(i)
+            orients.add(info["width"] >= info["height"])
+        assert len(orients) == 1
+
+
+def test_imagenet_dataset_preset(synthetic_coco, small_cfg, tmp_path, monkeypatch):
+    from PIL import Image
+
+    from oneshotdet_tpu.data.datasets.imagenet import ImagenetDataset
+
+    ann_file, img_dir = synthetic_coco
+    # preset support crop for contiguous class 1
+    Image.new("RGB", (60, 60), (200, 30, 30)).save(tmp_path / "1.jpg")
+    ds = ImagenetDataset(small_cfg, ann_file, img_dir, is_train=False,
+                         transforms=build_transforms(small_cfg, False),
+                         preset_supp_dir=str(tmp_path))
+    item = ds[0]
+    assert len(item["img_supp"]) == 1
+    assert item["img_supp"][0].ndim == 3
+
+
+def test_comm_single_process():
+    from oneshotdet_tpu.utils import comm
+
+    assert comm.get_world_size() == 1
+    assert comm.is_main_process()
+    comm.synchronize()  # no-op
+    assert comm.all_gather({"a": 1}) == [{"a": 1}]
+    out = comm.reduce_dict({"x": 2.0})
+    assert out["x"] == 2.0

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oneshotdet_tpu.models.roi_head import (
+    predictor_num_classes,
+    roi_head_loss,
+    soft_labeling_function,
+)
+
+
+def _setup(num_classes=2, num_reg=2, b=2, s=8):
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(b * s, num_classes).astype(np.float32))
+    deltas = jnp.asarray(rng.randn(b * s, num_reg * 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 2, (b, s)).astype(np.int32))
+    reg_t = jnp.asarray(rng.randn(b, s, 4).astype(np.float32))
+    valid = jnp.ones((b, s), bool)
+    return logits, deltas, labels, reg_t, valid
+
+
+def test_soft_labeling_functions():
+    t = jnp.array([0.0, 0.05, 0.3, 0.5, 0.75, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(soft_labeling_function(t, "discrete")), [0, 0, 0, 1, 1, 1]
+    )
+    np.testing.assert_allclose(np.asarray(soft_labeling_function(t, "linear")), np.asarray(t))
+    tl = np.asarray(soft_labeling_function(t, "transLinear"))
+    np.testing.assert_allclose(tl[3], 0.9, atol=1e-6)   # 0.2*0.5+0.8
+    np.testing.assert_allclose(tl[1], 0.0, atol=1e-6)   # below 0.1
+    t4 = np.asarray(soft_labeling_function(t, "trans4thLinear"))
+    np.testing.assert_allclose(t4[2], 0.9 * 0.6 ** 4, atol=1e-5)
+    np.testing.assert_allclose(t4[5], 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_type,ncls", [
+    ("ce_loss", 2), ("focal_loss", 1), ("mse_loss", 1), ("l1_loss", 1),
+    ("cxe_loss", 2),
+])
+def test_all_cls_loss_types_finite(loss_type, ncls):
+    _, nreg = predictor_num_classes("concat", loss_type, False)
+    logits, deltas, labels, reg_t, valid = _setup(ncls, nreg)
+    soft = jnp.asarray(np.random.RandomState(1).rand(2, 8).astype(np.float32))
+    cls_l, box_l = roi_head_loss(
+        logits, deltas, labels, reg_t, valid, loss_type, soft_labels=soft
+    )
+    assert np.isfinite(float(cls_l)) and float(cls_l) >= 0
+    assert np.isfinite(float(box_l))
+
+
+def test_weighted_ce_differs():
+    logits, deltas, labels, reg_t, valid = _setup()
+    a, _ = roi_head_loss(logits, deltas, labels, reg_t, valid, "ce_loss")
+    b, _ = roi_head_loss(logits, deltas, labels, reg_t, valid, "ce_loss",
+                         loss_weighted=True)
+    assert float(a) != pytest.approx(float(b))
+
+
+def test_neg_support_margin():
+    logits, deltas, labels, reg_t, valid = _setup()
+    # neg logits strongly positive -> high suppression loss
+    neg_hi = jnp.tile(jnp.array([[-5.0, 5.0]]), (16, 1))
+    _, _, sup_hi = roi_head_loss(logits, deltas, labels, reg_t, valid,
+                                 "ce_loss", neg_logits=neg_hi)
+    neg_lo = jnp.tile(jnp.array([[5.0, -5.0]]), (16, 1))
+    _, _, sup_lo = roi_head_loss(logits, deltas, labels, reg_t, valid,
+                                 "ce_loss", neg_logits=neg_lo)
+    assert float(sup_hi) > float(sup_lo)
+    # with neg fg-prob ~1 and random pos scores, margin stays near its cap
+    assert float(sup_hi) > 0.5
+
+
+def test_reverse_order_consistency_zero_when_identical():
+    logits, deltas, labels, reg_t, valid = _setup()
+    _, _, rev = roi_head_loss(logits, deltas, labels, reg_t, valid, "ce_loss",
+                              rev_logits=logits)
+    assert float(rev) == pytest.approx(0.0, abs=1e-5)
+    _, _, rev2 = roi_head_loss(logits, deltas, labels, reg_t, valid, "ce_loss",
+                               rev_logits=-logits)
+    assert float(rev2) > 0
