@@ -28,12 +28,17 @@ from .samplers import (
     iterate_batches,
     iteration_based_batches,
 )
-from .transforms import build_transforms
+from .transforms import build_fused_transforms, build_transforms
 
 
 def build_dataset(cfg, dataset_name: str, is_train: bool):
     info = DatasetCatalog.get(dataset_name)
-    transforms = build_transforms(cfg, is_train)
+    from ..csrc import load as load_native
+
+    if load_native() is not None:
+        transforms = build_fused_transforms(cfg, is_train)
+    else:
+        transforms = build_transforms(cfg, is_train)
     if info["factory"] == "COCODataset":
         return COCODataset(
             cfg,

@@ -14,6 +14,8 @@ from typing import Dict, List
 
 import numpy as np
 
+from ..csrc import resize_normalize_pad
+
 
 def _pick_bucket(shapes, buckets):
     """Smallest-area bucket covering all (h, w) shapes, else max-rounded."""
@@ -32,26 +34,58 @@ class BatchCollator:
         self.supp_bucket = tuple(cfg.TPU.SUPP_BUCKET)
         self.max_gt = cfg.TPU.MAX_GT_BOXES
 
+    @staticmethod
+    def _shape_of(img):
+        if isinstance(img, dict):  # fused-native path: pixels not yet resized
+            return img["out_hw"]
+        return img.shape[:2]
+
+    @staticmethod
+    def _write(img, dst):
+        """Write one image into its zero-initialized batch slot."""
+        if isinstance(img, dict):
+            ok = resize_normalize_pad(
+                img["u8"], dst, img["out_hw"], img["mean"], img["std"],
+                img["to_bgr255"],
+            )
+            if ok:
+                return img["out_hw"]
+            # native lib unavailable: python fallback
+            from PIL import Image
+
+            oh, ow = img["out_hw"]
+            arr = np.asarray(
+                Image.fromarray(img["u8"]).resize((ow, oh), Image.BILINEAR),
+                np.float32,
+            )
+            if img["to_bgr255"]:
+                arr = arr[:, :, ::-1]
+            else:
+                arr = arr / 255.0
+            dst[:oh, :ow] = (arr - img["mean"]) / img["std"]
+            return img["out_hw"]
+        h, w = img.shape[:2]
+        dst[:h, :w] = img
+        return h, w
+
     def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
         b = len(items)
-        q_shapes = [it["img"].shape[:2] for it in items]
+        q_shapes = [self._shape_of(it["img"]) for it in items]
         qh, qw = _pick_bucket(q_shapes, self.query_buckets)
 
         query = np.zeros((b, qh, qw, 3), np.float32)
         query_sizes = np.zeros((b, 2), np.float32)
         for i, it in enumerate(items):
-            h, w = it["img"].shape[:2]
-            query[i, :h, :w] = it["img"]
+            h, w = self._write(it["img"], query[i])
             query_sizes[i] = (h, w)
 
         supports = [s for it in items for s in it["img_supp"]]
-        s_shapes = [s.shape[:2] for s in supports]
+        s_shapes = [self._shape_of(s) for s in supports]
         sh, sw = _pick_bucket(s_shapes, [self.supp_bucket])
         supp = np.zeros((len(supports), sh, sw, 3), np.float32)
         supp_sizes = np.zeros((len(supports), 2), np.float32)
         for i, s in enumerate(supports):
-            h, w = s.shape[:2]
-            supp[i, :h, :w] = s
+            h, w = self._write(s, supp[i])
             supp_sizes[i] = (h, w)
 
         gt_xyxy = np.zeros((b, self.max_gt, 4), np.float32)

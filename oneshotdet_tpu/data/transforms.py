@@ -156,3 +156,73 @@ def device_preprocess(pixels_rgb_uint8, out_hw, min_size, max_size,
     out = jnp.zeros((*out_hw, 3), jnp.float32)
     out = out.at[:oh, :ow].set(img)
     return out, jnp.array([oh, ow], jnp.float32)
+
+
+class FusedHostPreprocess:
+    """Native fused resize+normalize+pad path (oneshotdet_tpu/csrc).
+
+    Instead of materializing a resized+normalized float image per sample
+    (PIL resize -> numpy normalize -> collator pad: three passes, ~70 ms for
+    an 800x1066 target), this transform defers the pixel work: it returns
+    the decoded uint8 array plus the resample target, and the collator
+    writes each image straight into its batch slot with one fused C++ pass
+    (~22 ms). Boxes are resized/flipped here as usual.
+    """
+
+    def __init__(self, min_size, max_size, flip_prob, mean, std, to_bgr255=True):
+        if not isinstance(min_size, (list, tuple)):
+            min_size = (min_size,)
+        self.min_size = tuple(min_size)
+        self.max_size = max_size
+        self.flip_prob = flip_prob
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_bgr255 = to_bgr255
+
+    def __call__(self, image: Image.Image, boxes):
+        size = random.choice(self.min_size)
+        oh, ow = get_resize_size(image.size, size, self.max_size)
+        w0, h0 = image.size
+        arr = np.asarray(image, np.uint8)
+        if boxes is not None and len(boxes):
+            boxes = boxes.astype(np.float32).copy()
+            boxes[:, 0::2] *= ow / w0
+            boxes[:, 1::2] *= oh / h0
+        if self.flip_prob > 0 and random.random() < self.flip_prob:
+            arr = arr[:, ::-1]
+            if boxes is not None and len(boxes):
+                x1 = ow - boxes[:, 2] - 1.0
+                x2 = ow - boxes[:, 0] - 1.0
+                boxes = boxes.copy()
+                boxes[:, 0], boxes[:, 2] = x1, x2
+        return (
+            {
+                "u8": np.ascontiguousarray(arr),
+                "out_hw": (oh, ow),
+                "mean": self.mean,
+                "std": self.std,
+                "to_bgr255": self.to_bgr255,
+            },
+            boxes,
+        )
+
+
+def build_fused_transforms(cfg, is_train=True):
+    """Native-path variant of build_transforms (same selection logic)."""
+    if is_train:
+        min_size = cfg.INPUT.MIN_SIZE_TRAIN
+        supp_min_size = cfg.INPUT.SUPP_MIN_SIZE_TRAIN
+        max_size = cfg.INPUT.MAX_SIZE_TRAIN
+        supp_max_size = cfg.INPUT.SUPP_MAX_SIZE_TRAIN
+        flip_prob = 0.5
+    else:
+        min_size = cfg.INPUT.MIN_SIZE_TEST
+        max_size = cfg.INPUT.MAX_SIZE_TEST
+        supp_min_size = cfg.INPUT.SUPP_MIN_SIZE_TEST
+        supp_max_size = cfg.INPUT.SUPP_MAX_SIZE_TEST
+        flip_prob = 0.0
+    args = (cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255)
+    return [
+        FusedHostPreprocess(min_size, max_size, flip_prob, *args),
+        FusedHostPreprocess(supp_min_size, supp_max_size, flip_prob, *args),
+    ]

@@ -155,3 +155,36 @@ def frozen_param_paths(freeze_at: int = 2) -> Tuple[str, ...]:
     for stage_index in range(freeze_at):
         prefixes.append("stem" if stage_index == 0 else f"layer{stage_index}")
     return tuple(prefixes)
+
+
+class ResNetHead(nn.Module):
+    """C4-style head (resnet.py:148-195): runs res5 on pooled ROI features —
+    used by the C4 feature extractors (ResNet50Conv5ROIFeatureExtractor)."""
+
+    stage: int = 4                 # which stage (res5 = index 4)
+    block_count: int = 3
+    res2_out_channels: int = 256
+    width_per_group: int = 64
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    stride_init: int = 2
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mult = 2 ** (self.stage - 1)
+        out_ch = self.res2_out_channels * mult
+        bottleneck_ch = self.num_groups * self.width_per_group * mult
+        stride = self.stride_init
+        for b in range(self.block_count):
+            x = Bottleneck(
+                bottleneck_channels=bottleneck_ch,
+                out_channels=out_ch,
+                stride=stride if b == 0 else 1,
+                stride_in_1x1=self.stride_in_1x1,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name=f"layer{self.stage}_{b}",
+            )(x)
+        return x

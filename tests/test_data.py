@@ -264,3 +264,26 @@ def test_comm_single_process():
     assert comm.all_gather({"a": 1}) == [{"a": 1}]
     out = comm.reduce_dict({"x": 2.0})
     assert out["x"] == 2.0
+
+
+def test_fused_native_pipeline(synthetic_coco, small_cfg):
+    """Fused C++ preprocess path matches the python PIL path closely."""
+    from oneshotdet_tpu.csrc import load as load_native
+    from oneshotdet_tpu.data.transforms import build_fused_transforms
+
+    ann_file, img_dir = synthetic_coco
+    ds_py = COCODataset(small_cfg, ann_file, img_dir, is_train=False,
+                        transforms=build_transforms(small_cfg, False))
+    ds_nat = COCODataset(small_cfg, ann_file, img_dir, is_train=False,
+                         transforms=build_fused_transforms(small_cfg, False))
+    coll = BatchCollator(small_cfg)
+    b_py = coll([ds_py[0], ds_py[1]])
+    b_nat = coll([ds_nat[0], ds_nat[1]])
+    assert b_py["query_pixels"].shape == b_nat["query_pixels"].shape
+    np.testing.assert_allclose(b_py["query_sizes"], b_nat["query_sizes"])
+    np.testing.assert_allclose(b_py["gt_xyxy"], b_nat["gt_xyxy"], atol=1e-4)
+    if load_native() is not None:
+        # pixel parity: PIL uses fixed-point coefficients -> within ~1.5 LSB
+        diff = np.abs(b_py["query_pixels"] - b_nat["query_pixels"])
+        assert diff.max() <= 2.0
+        assert diff.mean() < 0.3
