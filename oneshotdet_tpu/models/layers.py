@@ -52,6 +52,30 @@ def group_norm(x, num_groups: int = 32, eps: float = 1e-5):
     return nn.GroupNorm(num_groups=num_groups, epsilon=eps)(x)
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in nn.GroupNorm replacement backed by the Pallas fused kernel
+    (ops/pallas_groupnorm.py); same param names (scale/bias) so checkpoint
+    paths are unchanged. Optionally fuses the following activation."""
+
+    features: int
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    act: str = ""          # "" | "relu" | "leaky"
+    negative_slope: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_groupnorm import group_norm_act
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return group_norm_act(
+            x, scale, bias, self.num_groups, self.epsilon,
+            self.act or None, self.negative_slope,
+        )
+
+
 class ConvGNRelu(nn.Module):
     """3x3 conv + GroupNorm(32) + activation — the FCOS tower block
     (rpn/fcos/fcos.py:27-49) and head-aggregation block building unit."""
