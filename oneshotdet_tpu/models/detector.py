@@ -103,6 +103,7 @@ class DetectorConfig:
     num_shot: int = 1
     supp_roialign: bool = True
     max_gt: int = 64
+    remat_backbone: bool = False
     soft_labeling: bool = False
     soft_labeling_func: str = "linear"
     reverse_order: bool = False
@@ -157,6 +158,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         num_shot=cfg.FEW_SHOT.NUM_SHOT,
         supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
         max_gt=cfg.TPU.MAX_GT_BOXES,
+        remat_backbone=cfg.TPU.REMAT_BACKBONE,
         soft_labeling=cfg.FEW_SHOT.SOFT_LABELING,
         soft_labeling_func=cfg.FEW_SHOT.SOFT_LABELING_FUNC,
         reverse_order=cfg.FEW_SHOT.REVERSE_ORDER,
@@ -181,12 +183,15 @@ class GeneralizedRCNN(nn.Module):
 
     def setup(self):
         c = self.config
-        self.backbone = ResNetFPN(
+        # remat trades backbone activation memory for recompute in the
+        # backward pass (jax.checkpoint) — enables larger train batches
+        backbone_cls = nn.remat(ResNetFPN) if c.remat_backbone else ResNetFPN
+        self.backbone = backbone_cls(
             depth=c.depth, out_channels=c.out_channels,
             use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="backbone",
         )
         if c.siamese_backbone:
-            self.supp_backbone = ResNetFPN(
+            self.supp_backbone = backbone_cls(
                 depth=c.depth, out_channels=c.out_channels,
                 use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="supp_backbone",
             )

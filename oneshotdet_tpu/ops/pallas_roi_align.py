@@ -71,7 +71,8 @@ _COL_BW = 7
 _COL_USE = 8  # 1.0 if this kernel instance should process the roi
 _COL_H = 9    # level true height (boundary clamping)
 _COL_W = 10   # level true width
-_NCOLS = 11
+_COL_COUNT = 11  # number of used rois (same value in every row)
+_NCOLS = 12
 
 
 def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=None):
@@ -148,17 +149,26 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
                 out = out.reshape(pooled, g, pooled, g, c).mean(axis=(1, 3))
                 out_ref[i] = out.astype(out_ref.dtype)
 
-            @pl.when(jnp.logical_not(use))
-            def _():
-                out_ref[i] = jnp.zeros((pooled, pooled, c), out_ref.dtype)
 
-        maybe_start(0, 0)
+        # rois are compacted (used first, globally sorted); each block only
+        # iterates over its used prefix — fully-unused blocks cost nothing
+        total_used = scalars_ref[0, _COL_COUNT].astype(jnp.int32)
+        block_start = pl.program_id(0) * t
+        n_local = jnp.clip(total_used - block_start, 0, t)
+
+        # rows beyond the used prefix are never written by compute():
+        # zero the whole block first (cheap VMEM store)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(n_local > 0)
+        def _():
+            maybe_start(0, 0)
 
         def body(i, _):
             slot = jax.lax.rem(i, 2)
             nxt = jax.lax.rem(i + 1, 2)
 
-            @pl.when(i + 1 < t)
+            @pl.when(i + 1 < n_local)
             def _():
                 maybe_start(i + 1, nxt)
 
@@ -169,7 +179,7 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
             compute(i, slot)
             return 0
 
-        jax.lax.fori_loop(0, t, body, 0)
+        jax.lax.fori_loop(0, n_local, body, 0)
 
     return kernel
 
@@ -203,7 +213,7 @@ def pallas_multilevel_roi_align(
     output_size=(7, 7),
     scales: Sequence[float] = (0.125, 0.0625, 0.03125, 0.015625, 0.0078125),
     sampling_ratio: int = 2,
-    windows=(32, 64),
+    windows=(16, 32, 64),
     rois_per_step: int = 512,
     valid=None,
 ):
@@ -257,6 +267,7 @@ def pallas_multilevel_roi_align(
         y0 = jnp.clip(jnp.floor(start_h), 0.0, ph_r - window)
         x0 = jnp.clip(jnp.floor(start_w), 0.0, common_w - (window + 8))
         x0 = jnp.floor(x0 / 8.0) * 8.0
+        count = jnp.broadcast_to(use_mask.sum().astype(jnp.float32), (r,))
         cols = jnp.stack(
             [
                 rois[:, 0],
@@ -270,6 +281,7 @@ def pallas_multilevel_roi_align(
                 use_mask.astype(jnp.float32),
                 h_r,
                 w_r,
+                count,
             ],
             axis=1,
         )
@@ -284,7 +296,13 @@ def pallas_multilevel_roi_align(
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
     def run(window: int, use_mask: jnp.ndarray) -> jnp.ndarray:
+        # compact: used rois first, so trailing grid blocks no-op instantly
+        order = jnp.argsort(~use_mask, stable=True)
+        inv = jnp.argsort(order)
         scalars = build_scalars(window, use_mask)
+        scalars = jnp.concatenate(
+            [jnp.take(scalars[:r], order, axis=0), scalars[r:]], axis=0
+        )
         kernel = _make_kernel(window, pooled, g, c, t, precision)
         out = pl.pallas_call(
             kernel,
@@ -306,16 +324,15 @@ def pallas_multilevel_roi_align(
                 vmem_limit_bytes=int(1024 * 1024 * 100),
             ),
         )(scalars, stacked)
-        return out[:r]
+        return jnp.take(out[:r], inv, axis=0)
 
-    small = span <= windows[0]
-    if valid is not None:
-        small = small & valid
-        large = (~(span <= windows[0])) & valid
-    else:
-        large = ~small
-    out_small = run(windows[0], small)
-    if len(windows) > 1:
-        out_large = run(windows[1], large)
-        return out_small + out_large
-    return out_small
+    ok = valid if valid is not None else jnp.ones((r,), bool)
+    out = None
+    prev_fit = jnp.zeros((r,), bool)
+    for wi, window in enumerate(windows):
+        fits = span <= window if wi < len(windows) - 1 else jnp.ones((r,), bool)
+        tier = ok & fits & ~prev_fit
+        prev_fit = prev_fit | fits
+        part = run(window, tier)
+        out = part if out is None else out + part
+    return out

@@ -107,6 +107,45 @@ class Checkpointer:
             self._log("No checkpoint found. Initializing model from scratch")
             return state
         self._log(f"Loading checkpoint from {f}")
+        if f.endswith(".pth") or f.endswith(".pkl"):
+            # reference torch / Caffe2 checkpoints: weights only
+            if f.endswith(".pth"):
+                from .torch_import import load_torch_checkpoint
+
+                converted, matched, unmatched = load_torch_checkpoint(f)
+                self._log(f"torch import: {len(matched)} matched, {len(unmatched)} unmatched")
+            else:
+                from .c2_import import convert_c2_resnet, load_c2_pickle
+
+                body, matched, unmatched = convert_c2_resnet(load_c2_pickle(f))
+                self._log(f"caffe2 import: {len(matched)} matched, {len(unmatched)} unmatched")
+                converted = {
+                    "params": {"backbone": {"body": body["params"]},
+                               "supp_backbone": {"body": body["params"]}},
+                    "constants": {"backbone": {"body": body["constants"]},
+                                  "supp_backbone": {"body": body["constants"]}},
+                }
+
+            def overlay(dst, src):
+                out = dict(dst)
+                for k, v in src.items():
+                    if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                        out[k] = overlay(dst[k], v)
+                    elif k in dst:
+                        out[k] = jax.numpy.asarray(
+                            np.asarray(v).reshape(np.asarray(dst[k]).shape)
+                        )
+                return out
+
+            params = overlay(jax.device_get(state.params), converted["params"])
+            constants = overlay(jax.device_get(state.constants), converted["constants"])
+            params = merge_with_unload(
+                params, jax.device_get(state.params), unload_keywords
+            )
+            return state.replace(
+                params=jax.tree_util.tree_map(jax.numpy.asarray, params),
+                constants=jax.tree_util.tree_map(jax.numpy.asarray, constants),
+            )
         template = jax.device_get(
             {
                 "step": state.step,

@@ -190,3 +190,26 @@ def test_convert_covers_full_model():
     want_const = set(tree_paths(jax.device_get(variables["constants"])))
     missing_c = want_const - got_const
     assert not missing_c, sorted(missing_c)[:20]
+
+
+def test_checkpointer_pth_load(tmp_path):
+    """Checkpointer.load dispatches reference .pth files through the
+    torch importer and overlays matching weights."""
+    torch = pytest.importorskip("torch")
+
+    sd = {"backbone.body.stem.conv1.weight": torch.full((4, 3, 7, 7), 2.0)}
+    path = str(tmp_path / "ref.pth")
+    torch.save({"model": sd}, path)
+
+    params = {"backbone": {"body": {"stem": {"conv1": {"kernel": jnp.zeros((7, 7, 3, 4))}}}},
+              "fcos_head": {"cls_logits": {"bias": jnp.ones((1,))}}}
+    tx = optax.sgd(0.1)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       constants={}, opt_state=tx.init(params))
+    ckptr = Checkpointer(str(tmp_path / "out"))
+    loaded = ckptr.load(state, f=path, resume=False)
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["backbone"]["body"]["stem"]["conv1"]["kernel"]), 2.0)
+    # unmatched params keep fresh values
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["fcos_head"]["cls_logits"]["bias"]), 1.0)

@@ -91,12 +91,23 @@ def main():
     state = create_train_state(model, optimizer, variables)
 
     checkpointer = Checkpointer(c.OUTPUT_DIR, logger)
-    state = checkpointer.load(
-        state,
-        f=c.MODEL.WEIGHT or None,
-        unload_keywords=c.FEW_SHOT.UNLOAD_KEYWORD,
-        resume=c.FEW_SHOT.RESUME,
-    )
+    if c.MODEL.FSS_WEIGHT:
+        # dual-checkpoint FSS load (reference tools/train_net.py:100-110):
+        # stage-1 (fcos) weights come from FSS_WEIGHT, everything else from
+        # WEIGHT — realized as two partial loads
+        state = checkpointer.load(state, f=c.MODEL.FSS_WEIGHT, resume=False)
+        state = checkpointer.load(
+            state, f=c.MODEL.WEIGHT or None,
+            unload_keywords=tuple(c.FEW_SHOT.UNLOAD_KEYWORD) + ("fcos_head",),
+            resume=c.FEW_SHOT.RESUME,
+        )
+    else:
+        state = checkpointer.load(
+            state,
+            f=c.MODEL.WEIGHT or None,
+            unload_keywords=c.FEW_SHOT.UNLOAD_KEYWORD,
+            resume=c.FEW_SHOT.RESUME,
+        )
     start_iter = int(state.step)
 
     from oneshotdet_tpu.parallel.mesh import replicate
