@@ -98,11 +98,21 @@ def inference(
 ):
     """Full inference + evaluation (inference.py:155-213)."""
     from ..data.evaluation import evaluate
+    from ..utils import comm
 
     t0 = time.time()
     results_by_idx = compute_on_dataset(model, variables, data_loader, stop_iter, logger)
     if logger:
         logger.info(f"inference wall time: {time.time() - t0:.1f}s")
+    # multi-host: merge per-host prediction dicts (the pickle-all_gather
+    # analog of reference inference.py:133-152)
+    if comm.get_world_size() > 1:
+        merged = {}
+        for part in comm.all_gather(results_by_idx):
+            merged.update(part)
+        results_by_idx = merged
+        if not comm.is_main_process():
+            return None
     predictions = [results_by_idx.get(i) for i in range(len(dataset))]
     if stop_iter is not None:
         # evaluate only reached episodes (reference truncates identically)

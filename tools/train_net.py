@@ -69,9 +69,13 @@ def main():
     mesh = make_mesh(tuple(c.TPU.MESH_AXES))
     model = build_detection_model(c)
 
+    n_proc = jax.process_count()
     # init on CPU (eager init over a device tunnel is pathological), then
     # transfer to the mesh
-    loader, dataset = make_data_loader(c, is_train=True)
+    loader, dataset = make_data_loader(
+        c, is_train=True, is_distributed=n_proc > 1,
+        num_replicas=n_proc, rank=jax.process_index(),
+    )
     first_batch = next(iter(loader))
     cpu = jax.devices("cpu")[0]
     from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
@@ -122,7 +126,11 @@ def main():
     )
 
     if start_iter:
-        loader, dataset = make_data_loader(c, is_train=True, start_iter=start_iter)
+        loader, dataset = make_data_loader(
+            c, is_train=True, start_iter=start_iter,
+            is_distributed=n_proc > 1, num_replicas=n_proc,
+            rank=jax.process_index(),
+        )
     do_train(
         c, model, train_step, state, loader, mesh,
         checkpointer=checkpointer, meters=meters, start_iter=start_iter,
