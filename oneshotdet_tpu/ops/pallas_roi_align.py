@@ -96,25 +96,29 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
             def _():
                 dma(i, slot).start()
 
-        def interp_matrix(start, bin_sz, origin, true_dim, width):
-            """(P, width) bilinear interpolation matrix for one axis; all
-            intermediates 2D (Mosaic-friendly)."""
-            j = jax.lax.broadcasted_iota(jnp.int32, (p, width), 0).astype(jnp.float32)
-            cells = jax.lax.broadcasted_iota(jnp.int32, (p, width), 1).astype(jnp.float32)
+        def interp_binned(start, bin_sz, origin, true_dim, width):
+            """(pooled, width) interpolation matrix with the g-sample bin
+            mean folded in: the g sub-sample bilinear rows of each bin are
+            summed and scaled by 1/g, so the two pooling matmuls already
+            produce averaged bins — no separate transpose+mean stage. All
+            intermediates are 2D (Mosaic-friendly)."""
+            bins = jax.lax.broadcasted_iota(jnp.int32, (pooled, width), 0).astype(jnp.float32)
+            cells = jax.lax.broadcasted_iota(jnp.int32, (pooled, width), 1).astype(jnp.float32)
             gf = float(g)
-            frac = jnp.floor(j / gf) + (j - jnp.floor(j / gf) * gf + 0.5) / gf
-            pos = start + frac * bin_sz
-            in_range = (pos >= -1.0) & (pos <= true_dim)
-            posc = jnp.maximum(pos, 0.0)
-            low = jnp.minimum(jnp.floor(posc), true_dim - 1.0)
-            high = jnp.minimum(low + 1.0, true_dim - 1.0)
-            posf = jnp.where(low >= true_dim - 1.0, low, posc)
-            lfrac = posf - low
-            hfrac = 1.0 - lfrac
-            low_rel = jnp.clip(low - origin, 0.0, width - 1.0)
-            high_rel = jnp.clip(high - origin, 0.0, width - 1.0)
-            m = (cells == low_rel) * hfrac + (cells == high_rel) * lfrac
-            return m * in_range.astype(jnp.float32)
+            m_total = jnp.zeros((pooled, width), jnp.float32)
+            for sub in range(g):
+                pos = start + (bins + (sub + 0.5) / gf) * bin_sz
+                in_range = (pos >= -1.0) & (pos <= true_dim)
+                posc = jnp.maximum(pos, 0.0)
+                low = jnp.minimum(jnp.floor(posc), true_dim - 1.0)
+                high = jnp.minimum(low + 1.0, true_dim - 1.0)
+                posf = jnp.where(low >= true_dim - 1.0, low, posc)
+                lfrac = posf - low
+                m = (cells == jnp.clip(low - origin, 0.0, width - 1.0)) * (1 - lfrac) + (
+                    cells == jnp.clip(high - origin, 0.0, width - 1.0)
+                ) * lfrac
+                m_total = m_total + m * in_range.astype(jnp.float32)
+            return m_total * (1.0 / gf)
 
         def compute(i, slot):
             use = scalars_ref[i, _COL_USE] > 0.5
@@ -129,25 +133,22 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
                 x0 = scalars_ref[i, _COL_X0]
                 th = scalars_ref[i, _COL_H]
                 tw = scalars_ref[i, _COL_W]
-                wy = interp_matrix(sh, bh, y0, th, win_h)
-                wx = interp_matrix(sw, bw, x0, tw, win_w)
+                wyb = interp_binned(sh, bh, y0, th, win_h)   # (7, win_h)
+                wxb = interp_binned(sw, bw, x0, tw, win_w)   # (7, win_w)
                 win = win_buf[slot].astype(jnp.float32)
                 rows = jax.lax.dot_general(
-                    wy, win.reshape(win_h, win_w * c),
+                    wyb, win.reshape(win_h, win_w * c),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )
-                rows = rows.reshape(p, win_w, c)
+                )  # (7, win_w*C)
                 out = jax.lax.dot_general(
-                    wx, rows,
+                    wxb, rows.reshape(pooled, win_w, c),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )  # (sx, sy, C)
-                out = out.transpose(1, 0, 2)
-                out = out.reshape(pooled, g, pooled, g, c).mean(axis=(1, 3))
-                out_ref[i] = out.astype(out_ref.dtype)
+                )  # (7sx, 7sy, C)
+                out_ref[i] = out.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
         # rois are compacted (used first, globally sorted); each block only
