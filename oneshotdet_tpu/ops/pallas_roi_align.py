@@ -80,21 +80,23 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
     win_h = window
     win_w = window + 8  # see module docstring (8-aligned column offsets)
 
-    def kernel(scalars_ref, stack_ref, out_ref, win_buf, sems):
+    def kernel(c_b, c_y0g, c_y0, c_x0, c_sh, c_sw, c_bh, c_bw, c_th, c_tw,
+               c_cnt, stack_ref, out_ref, win_buf, sems):
+        # scalar columns are prefetched into SMEM (PrefetchScalarGridSpec):
+        # SMEM scalar loads are far cheaper than dynamic VMEM reads and were
+        # ~25% of the per-ROI cost
+        base = pl.program_id(0) * t
+
         def dma(i, slot):
-            b = scalars_ref[i, _COL_B].astype(jnp.int32)
-            y0g = scalars_ref[i, _COL_Y0G].astype(jnp.int32)
-            x0 = pl.multiple_of(scalars_ref[i, _COL_X0].astype(jnp.int32), 8)
+            gi = base + i
+            b = c_b[gi].astype(jnp.int32)
+            y0g = c_y0g[gi].astype(jnp.int32)
+            x0 = pl.multiple_of(c_x0[gi].astype(jnp.int32), 8)
             return pltpu.make_async_copy(
                 stack_ref.at[b, pl.ds(y0g, win_h), pl.ds(x0, win_w), :],
                 win_buf.at[slot],
                 sems.at[slot],
             )
-
-        def maybe_start(i, slot):
-            @pl.when(scalars_ref[i, _COL_USE] > 0.5)
-            def _():
-                dma(i, slot).start()
 
         def interp_binned(start, bin_sz, origin, true_dim, width):
             """(pooled, width) interpolation matrix with the g-sample bin
@@ -121,41 +123,29 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
             return m_total * (1.0 / gf)
 
         def compute(i, slot):
-            use = scalars_ref[i, _COL_USE] > 0.5
-
-            @pl.when(use)
-            def _():
-                sh = scalars_ref[i, _COL_SH]
-                sw = scalars_ref[i, _COL_SW]
-                bh = scalars_ref[i, _COL_BH]
-                bw = scalars_ref[i, _COL_BW]
-                y0 = scalars_ref[i, _COL_Y0]
-                x0 = scalars_ref[i, _COL_X0]
-                th = scalars_ref[i, _COL_H]
-                tw = scalars_ref[i, _COL_W]
-                wyb = interp_binned(sh, bh, y0, th, win_h)   # (7, win_h)
-                wxb = interp_binned(sw, bw, x0, tw, win_w)   # (7, win_w)
-                win = win_buf[slot].astype(jnp.float32)
-                rows = jax.lax.dot_general(
-                    wyb, win.reshape(win_h, win_w * c),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )  # (7, win_w*C)
-                out = jax.lax.dot_general(
-                    wxb, rows.reshape(pooled, win_w, c),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )  # (7sx, 7sy, C)
-                out_ref[i] = out.transpose(1, 0, 2).astype(out_ref.dtype)
+            gi = base + i
+            wyb = interp_binned(c_sh[gi], c_bh[gi], c_y0[gi], c_th[gi], win_h)
+            wxb = interp_binned(c_sw[gi], c_bw[gi], c_x0[gi], c_tw[gi], win_w)
+            win = win_buf[slot].astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                wyb, win.reshape(win_h, win_w * c),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (7, win_w*C)
+            out = jax.lax.dot_general(
+                wxb, rows.reshape(pooled, win_w, c),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (7sx, 7sy, C)
+            out_ref[i] = out.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
         # rois are compacted (used first, globally sorted); each block only
         # iterates over its used prefix — fully-unused blocks cost nothing
-        total_used = scalars_ref[0, _COL_COUNT].astype(jnp.int32)
-        block_start = pl.program_id(0) * t
-        n_local = jnp.clip(total_used - block_start, 0, t)
+        total_used = c_cnt[0].astype(jnp.int32)
+        n_local = jnp.clip(total_used - base, 0, t)
 
         # rows beyond the used prefix are never written by compute():
         # zero the whole block first (cheap VMEM store)
@@ -163,7 +153,7 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
 
         @pl.when(n_local > 0)
         def _():
-            maybe_start(0, 0)
+            dma(0, 0).start()
 
         def body(i, _):
             slot = jax.lax.rem(i, 2)
@@ -171,12 +161,9 @@ def _make_kernel(window: int, pooled: int, g: int, c: int, t: int, precision=Non
 
             @pl.when(i + 1 < n_local)
             def _():
-                maybe_start(i + 1, nxt)
+                dma(i + 1, nxt).start()
 
-            @pl.when(scalars_ref[i, _COL_USE] > 0.5)
-            def _():
-                dma(i, slot).wait()
-
+            dma(i, slot).wait()
             compute(i, slot)
             return 0
 
@@ -264,32 +251,19 @@ def pallas_multilevel_roi_align(
     t = rois_per_step
     r_pad = int(-(-r // t) * t)
 
-    def build_scalars(window: int, use_mask: jnp.ndarray) -> jnp.ndarray:
+    def build_columns(window: int, use_mask: jnp.ndarray, order: jnp.ndarray):
+        """11 compacted 1-D f32 columns for SMEM scalar prefetch."""
         y0 = jnp.clip(jnp.floor(start_h), 0.0, ph_r - window)
         x0 = jnp.clip(jnp.floor(start_w), 0.0, common_w - (window + 8))
         x0 = jnp.floor(x0 / 8.0) * 8.0
         count = jnp.broadcast_to(use_mask.sum().astype(jnp.float32), (r,))
-        cols = jnp.stack(
-            [
-                rois[:, 0],
-                off_r + y0,
-                y0,
-                x0,
-                start_h,
-                start_w,
-                bin_h,
-                bin_w,
-                use_mask.astype(jnp.float32),
-                h_r,
-                w_r,
-                count,
-            ],
-            axis=1,
-        )
-        if r_pad > r:
-            cols = jnp.concatenate(
-                [cols, jnp.zeros((r_pad - r, _NCOLS), jnp.float32)], axis=0
-            )
+        cols = []
+        for col in (rois[:, 0], off_r + y0, y0, x0, start_h, start_w,
+                    bin_h, bin_w, h_r, w_r, count):
+            col = jnp.take(col.astype(jnp.float32), order)
+            if r_pad > r:
+                col = jnp.concatenate([col, jnp.zeros((r_pad - r,), jnp.float32)])
+            cols.append(col)
         return cols
 
     # f32 inputs get full-precision MXU passes so results match the XLA
@@ -300,31 +274,29 @@ def pallas_multilevel_roi_align(
         # compact: used rois first, so trailing grid blocks no-op instantly
         order = jnp.argsort(~use_mask, stable=True)
         inv = jnp.argsort(order)
-        scalars = build_scalars(window, use_mask)
-        scalars = jnp.concatenate(
-            [jnp.take(scalars[:r], order, axis=0), scalars[r:]], axis=0
-        )
+        cols = build_columns(window, use_mask, order)
         kernel = _make_kernel(window, pooled, g, c, t, precision)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((r_pad, pooled, pooled, c), dtype),
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
             grid=(r_pad // t,),
-            in_specs=[
-                pl.BlockSpec((t, _NCOLS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (t, pooled, pooled, c), lambda i: (i, 0, 0, 0),
+                (t, pooled, pooled, c), lambda i, *s: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, window, window + 8, c), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((r_pad, pooled, pooled, c), dtype),
+            grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(1024 * 1024 * 100),
             ),
-        )(scalars, stacked)
+        )(*cols, stacked)
         return jnp.take(out[:r], inv, axis=0)
 
     ok = valid if valid is not None else jnp.ones((r,), bool)
