@@ -76,6 +76,7 @@ class DetectorConfig:
     fpn_post_nms_top_n_train: int = 4000
     fpn_post_nms_top_n_test: int = 2000
     nms_pre_topk: int = 8192
+    strict_level_topk: bool = False
     # detector-mode (RPN_ONLY=True) postprocessing
     inference_th: float = 0.0
     fcos_nms_th: float = 0.6
@@ -134,6 +135,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         fpn_post_nms_top_n_train=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN,
         fpn_post_nms_top_n_test=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST,
         nms_pre_topk=cfg.TPU.NMS_PRE_TOPK,
+        strict_level_topk=cfg.TPU.STRICT_LEVEL_TOPK,
         inference_th=cfg.MODEL.FCOS.INFERENCE_TH,
         fcos_nms_th=cfg.MODEL.FCOS.NMS_TH,
         fcos_pre_nms_top_n=cfg.MODEL.FCOS.PRE_NMS_TOP_N,
@@ -334,6 +336,7 @@ class GeneralizedRCNN(nn.Module):
             locations, logits, bbox_reg, ctrness, images.sizes_wh(),
             c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
             c.nms_pre_topk, 0.0, c.score_mode,
+            level_topk=c.strict_level_topk,
         )
         if c.rpn_only:
             return proposals
@@ -404,6 +407,7 @@ class GeneralizedRCNN(nn.Module):
                 c.fcos_pre_nms_top_n, c.fcos_nms_th,
                 c.detections_per_img_rpn_only, c.nms_pre_topk,
                 c.inference_th, c.score_mode,
+                level_topk=c.strict_level_topk,
             )
 
         # proposals (box_selector under no_grad in the reference, :196-199)
@@ -416,6 +420,7 @@ class GeneralizedRCNN(nn.Module):
             [jax.lax.stop_gradient(x) for x in ctrness],
             images.sizes_wh(), pre_n, c.rpn_nms_thresh, post_n,
             c.nms_pre_topk, 0.0, c.score_mode,
+            level_topk=c.strict_level_topk,
         )
 
         # stage-2 whole-support features

@@ -253,6 +253,7 @@ def fcos_postprocess(
     pre_nms_thresh: float = 0.0,
     score_mode: str = "BINARY",
     min_size: float = 0.0,
+    level_topk: bool = True,
 ) -> Boxes:
     """Decode + per-level top-k + cross-level NMS → padded proposal Boxes.
 
@@ -261,9 +262,8 @@ def fcos_postprocess(
     fields 'scores' and 'objectness'.
     """
     b = logits[0].shape[0]
-    per_level_boxes, per_level_scores, per_level_valid = [], [], []
 
-    for loc, lg, br, ct in zip(locations, logits, bbox_reg, ctrness):
+    def level_scores(loc, lg, ct):
         hw = lg.shape[1] * lg.shape[2]
         c = lg.shape[-1]
         if score_mode == "BINARY":
@@ -277,14 +277,10 @@ def fcos_postprocess(
             loc[None, :, 1] < image_sizes_wh[:, 1:2]
         )
         score = cls * ctr
-        score = jnp.where(candidate & in_img, score, -1.0)
+        return jnp.where(candidate & in_img, score, -1.0)
 
-        k = min(pre_nms_top_n, hw)
-        top_scores, top_idx = jax.lax.top_k(score, k)  # (B, k)
-        reg = br.reshape(b, hw, 4)
-        reg_k = jnp.take_along_axis(reg, top_idx[..., None], axis=1)
-        loc_k = loc[top_idx]  # (B, k, 2)
-        boxes = jnp.stack(
+    def decode(loc_k, reg_k):
+        return jnp.stack(
             [
                 loc_k[..., 0] - reg_k[..., 0],
                 loc_k[..., 1] - reg_k[..., 1],
@@ -293,13 +289,41 @@ def fcos_postprocess(
             ],
             axis=-1,
         )
-        per_level_boxes.append(boxes)
-        per_level_scores.append(top_scores)
-        per_level_valid.append(top_scores > 0.0 if pre_nms_thresh == 0.0 else top_scores > pre_nms_thresh)
 
-    boxes = jnp.concatenate(per_level_boxes, axis=1)     # (B, K, 4)
-    scores = jnp.concatenate(per_level_scores, axis=1)
-    valid = jnp.concatenate(per_level_valid, axis=1) & (scores > -0.5)
+    if level_topk:
+        # strict reference semantics: per-level top-k before the cross-level
+        # selection (FCOSPostProcessor.forward_for_single_feature_map)
+        per_level_boxes, per_level_scores = [], []
+        for loc, lg, br, ct in zip(locations, logits, bbox_reg, ctrness):
+            hw = lg.shape[1] * lg.shape[2]
+            score = level_scores(loc, lg, ct)
+            k = min(pre_nms_top_n, hw)
+            top_scores, top_idx = jax.lax.top_k(score, k)  # (B, k)
+            reg_k = jnp.take_along_axis(
+                br.reshape(b, hw, 4), top_idx[..., None], axis=1
+            )
+            per_level_boxes.append(decode(loc[top_idx], reg_k))
+            per_level_scores.append(top_scores)
+        boxes = jnp.concatenate(per_level_boxes, axis=1)     # (B, K, 4)
+        scores = jnp.concatenate(per_level_scores, axis=1)
+        valid = scores > max(pre_nms_thresh, 0.0)
+    else:
+        # fast path (pre_nms_thresh == 0): per-level top-k sorts are
+        # subsumed by the global nms_pre_topk cap — one sort instead of six.
+        # Only boxes ranked below BOTH caps can differ, i.e. candidates that
+        # could never reach the post-NMS top-n (see PARITY.md deviations).
+        all_scores = jnp.concatenate(
+            [level_scores(loc, lg, ct)
+             for loc, lg, ct in zip(locations, logits, ctrness)], axis=1)
+        all_reg = jnp.concatenate(
+            [br.reshape(b, -1, 4) for br in bbox_reg], axis=1)
+        all_loc = jnp.concatenate(locations, axis=0)
+        k = min(nms_pre_topk, all_scores.shape[1])
+        top_scores, top_idx = jax.lax.top_k(all_scores, k)
+        reg_k = jnp.take_along_axis(all_reg, top_idx[..., None], axis=1)
+        boxes = decode(all_loc[top_idx], reg_k)
+        scores = top_scores
+        valid = scores > max(pre_nms_thresh, 0.0)
 
     # clip to image (BoxList.clip_to_image with TO_REMOVE=1)
     w = image_sizes_wh[:, 0:1]

@@ -142,6 +142,7 @@ def test_full_detector_eval_parity():
     c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 24
     c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
     c.TPU.NMS_PRE_TOPK = 4096
+    c.TPU.STRICT_LEVEL_TOPK = True  # bit-parity mode: keep per-level pre-NMS caps
     c.TPU.COMPUTE_DTYPE = "float32"
 
     model = build_detection_model(c)

@@ -142,6 +142,27 @@ def test_fcos_losses_finite_and_zero_when_perfect():
     assert float(ctr_l) == 0.0
 
 
+def test_fcos_postprocess_global_topk_matches_level_topk():
+    """Fast path (one global top-k) == strict path when per-level caps don't bind."""
+    rng = np.random.RandomState(3)
+    shapes = [(8, 12), (4, 6), (2, 3), (1, 2), (1, 1)]
+    b = 2
+    logits = [jnp.asarray(rng.randn(b, h, w, 1).astype(np.float32)) for h, w in shapes]
+    bbox = [jnp.abs(jnp.asarray(rng.randn(b, h, w, 4).astype(np.float32))) * 8 for h, w in shapes]
+    ctr = [jnp.asarray(rng.randn(b, h, w, 1).astype(np.float32)) for h, w in shapes]
+    locs = compute_locations(shapes, (8, 16, 32, 64, 128))
+    sizes_wh = jnp.array([[96.0, 64.0], [80.0, 50.0]])
+    kw = dict(pre_nms_top_n=1000, nms_thresh=0.6, post_top_n=32, nms_pre_topk=4096)
+    strict = fcos_postprocess(locs, logits, bbox, ctr, sizes_wh, level_topk=True, **kw)
+    fast = fcos_postprocess(locs, logits, bbox, ctr, sizes_wh, level_topk=False, **kw)
+    np.testing.assert_array_equal(np.asarray(strict.valid), np.asarray(fast.valid))
+    np.testing.assert_allclose(
+        np.asarray(strict.xyxy)[np.asarray(strict.valid)],
+        np.asarray(fast.xyxy)[np.asarray(fast.valid)], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(strict.get_field("scores")), np.asarray(fast.get_field("scores")), atol=1e-6)
+
+
 def test_fcos_postprocess_shapes_and_validity():
     locs = compute_locations([(8, 8), (4, 4)], [8, 16])
     b = 2
