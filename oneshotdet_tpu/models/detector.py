@@ -341,13 +341,9 @@ class GeneralizedRCNN(nn.Module):
         if c.rpn_only:
             return proposals
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
-        n = roi_feats.shape[0]
-        r = c.pooler_resolution
-        supp_exp = jnp.broadcast_to(
-            supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
-        ).reshape(n, r, r, -1)
+        # per-image support: roi_head broadcasts internally (image-major ROIs)
         cls_logits, box_deltas = self.roi_head(
-            roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
@@ -459,26 +455,24 @@ class GeneralizedRCNN(nn.Module):
             roi_feats = self._pool_rois(features, sampled)
             n = roi_feats.shape[0]
             r = c.pooler_resolution
-            supp_exp = jnp.broadcast_to(
-                supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
-            ).reshape(n, r, r, -1)
             cls_logits, box_deltas = self.roi_head(
-                roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+                roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
             )
             rev_logits = neg_logits = None
             if c.reverse_order:
-                # swapped concat order pass (box_head.py:143-171)
+                # swapped concat order pass (box_head.py:143-171): the
+                # support side leads, so it must be expanded to per-ROI
+                supp_exp = jnp.broadcast_to(
+                    supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
+                ).reshape(n, r, r, -1)
                 rev_logits, _ = self.roi_head(
                     supp_exp.astype(self.dtype), roi_feats.astype(self.dtype)
                 )
             if c.neg_support and images_neg_supp is not None:
                 feats_neg = self._supp_features(images_neg_supp)
                 neg_7x7 = self._supp_roi_7x7(feats_neg, images_neg_supp.sizes, b)
-                neg_exp = jnp.broadcast_to(
-                    neg_7x7[:, None], (b, n // b, r, r, neg_7x7.shape[-1])
-                ).reshape(n, r, r, -1)
                 neg_logits, _ = self.roi_head(
-                    roi_feats.astype(self.dtype), neg_exp.astype(self.dtype)
+                    roi_feats.astype(self.dtype), neg_7x7.astype(self.dtype)
                 )
             out = roi_head_loss(
                 cls_logits, box_deltas, roi_labels, roi_reg_t, s_valid,
@@ -504,13 +498,8 @@ class GeneralizedRCNN(nn.Module):
 
         # eval: score every proposal against the support
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
-        n = roi_feats.shape[0]
-        r = c.pooler_resolution
-        supp_exp = jnp.broadcast_to(
-            supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
-        ).reshape(n, r, r, -1)
         cls_logits, box_deltas = self.roi_head(
-            roi_feats.astype(self.dtype), supp_exp.astype(self.dtype)
+            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
