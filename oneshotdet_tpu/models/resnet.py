@@ -25,7 +25,9 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import FrozenBatchNorm
@@ -92,13 +94,62 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConv(nn.Module):
+    """7x7/2 stem conv, evaluated via space-to-depth when H and W are even.
+
+    A 3-channel 7x7 conv puts a contraction depth of 3 on a 128-deep MXU
+    (~2% utilization — measured ~9 ms/batch8 at 832x1216 on v5e). Regrouping
+    pixels into 2x2 blocks (12 channels) turns it into an exactly-equivalent
+    4x4/1 conv with contraction depth 192: out[i,j] = sum_{dy,dx,c}
+    x[2i+dy-3, 2j+dx-3, c] * W[dy,dx,c] regroups rows as 2p+a, so each tap
+    (dy -> py=(dy-3-a)//2+2, a=(dy+1)%2) lands in a unique (py, a) slot of a
+    4x4 kernel over the 2x2-blocked input with asymmetric padding (2, 1).
+    The parameter keeps nn.Conv's name/layout ("kernel", (7,7,C,O)) so
+    checkpoint import is unaffected; the regrouped kernel is formed on the
+    fly from two tiny 8x7 selection matmuls.
+    """
+
+    out_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (7, 7, cin, self.out_channels),
+        )
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # tap -> (slot, parity) selection (constant folded at trace time)
+        sel = np.zeros((8, 7), np.float32)
+        for d in range(7):
+            a = (d + 1) % 2
+            sel[((d - 3 - a) // 2 + 2) * 2 + a, d] = 1.0
+        sel = jnp.asarray(sel)
+        k2 = jnp.einsum("yd,xe,deco->yxco", sel, sel, kernel)
+        k2 = (k2.reshape(4, 2, 4, 2, cin, self.out_channels)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 4 * cin, self.out_channels))
+        x2 = (x.reshape(b, h // 2, 2, w // 2, 2, cin)
+               .transpose(0, 1, 3, 2, 4, 5)
+               .reshape(b, h // 2, w // 2, 4 * cin))
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), k2.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Stem(nn.Module):
     out_channels: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.out_channels, 7, 2, name="conv1", dtype=self.dtype)(x)
+        x = _StemConv(self.out_channels, name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(self.out_channels, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         # torch max_pool2d(kernel=3, stride=2, padding=1): pad with -inf

@@ -67,6 +67,15 @@ def test_full_detector_eval_parity():
     )
     stub.nms = _greedy_nms_torch
     stub.roi_align_forward = _roi_align_stub
+    # other parity tests may have imported reference modules while a raising
+    # _C stub was installed; refresh their frozen `from _C import nms` bindings
+    for mod_name, attr in [
+        ("maskrcnn_benchmark.layers", "nms"),
+        ("maskrcnn_benchmark.structures.boxlist_ops", "_box_nms"),
+    ]:
+        mod = sys.modules.get(mod_name)
+        if mod is not None and hasattr(mod, attr):
+            setattr(mod, attr, _greedy_nms_torch)
 
     from maskrcnn_benchmark.config import cfg as ref_cfg_base
     from maskrcnn_benchmark.modeling.detector.detectors import build_detection_model as ref_build
