@@ -57,6 +57,7 @@ def main():
     c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
     c.FEW_SHOT.SUPP_ROIALIGN = True
     c.TPU.COMPUTE_DTYPE = args.dtype
+    c.TPU.HOST_S2D = True
 
     qh, qw = args.query_hw
     sh, sw = args.supp_hw
@@ -73,12 +74,15 @@ def main():
     # (Streaming-throughput protocol validated against a per-iteration
     # host-materialization run: marginal cost per extra batch matches.)
     n_variants = args.iters
+    from oneshotdet_tpu.data.transforms import space_to_depth
+
+    # production input pipeline delivers 2x2-blocked pixels (TPU.HOST_S2D)
     pixel_variants = [
-        jnp.asarray(rng.randn(b, qh, qw, 3).astype(np.float32))
+        jnp.asarray(space_to_depth(rng.randn(b, qh, qw, 3).astype(np.float32)))
         for _ in range(n_variants)
     ]
     supp_variants = [
-        jnp.asarray(rng.randn(b, sh, sw, 3).astype(np.float32))
+        jnp.asarray(space_to_depth(rng.randn(b, sh, sw, 3).astype(np.float32)))
         for _ in range(n_variants)
     ]
     images = ImageBatch(

@@ -33,6 +33,7 @@ class BatchCollator:
         self.query_buckets = tuple(tuple(b) for b in cfg.TPU.QUERY_BUCKETS)
         self.supp_bucket = tuple(cfg.TPU.SUPP_BUCKET)
         self.max_gt = cfg.TPU.MAX_GT_BOXES
+        self.host_s2d = bool(getattr(cfg.TPU, "HOST_S2D", False))
 
     @staticmethod
     def _shape_of(img):
@@ -97,6 +98,11 @@ class BatchCollator:
                 gt_xyxy[i, :n] = it["boxes"][:n]
                 gt_valid[i, :n] = True
                 gt_labels[i, :n] = it["labels"][:n]
+
+        if self.host_s2d and qh % 2 == 0 and qw % 2 == 0 and sh % 2 == 0 and sw % 2 == 0:
+            from .transforms import space_to_depth
+            query = space_to_depth(query)
+            supp = space_to_depth(supp)
 
         return {
             "query_pixels": query,

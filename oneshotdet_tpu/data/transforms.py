@@ -226,3 +226,17 @@ def build_fused_transforms(cfg, is_train=True):
         FusedHostPreprocess(min_size, max_size, flip_prob, *args),
         FusedHostPreprocess(supp_min_size, supp_max_size, flip_prob, *args),
     ]
+
+
+def space_to_depth(arr: "np.ndarray") -> "np.ndarray":
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (row-parity,
+    col-parity, c). Exact rearrangement consumed by the backbone stem's
+    blocked fast path (models/resnet._StemConv) — doing it in the input
+    pipeline keeps the fine-grained 3-channel shuffle off the device
+    critical path (measured 3.5 ms/batch8 on v5e). Same byte count.
+    """
+    b, h, w, c = arr.shape
+    return np.ascontiguousarray(
+        arr.reshape(b, h // 2, 2, w // 2, 2, c)
+           .transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, h // 2, w // 2, 4 * c))

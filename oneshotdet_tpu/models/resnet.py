@@ -110,18 +110,20 @@ class _StemConv(nn.Module):
     """
 
     out_channels: int = 64
+    in_channels: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = self.in_channels
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (7, 7, cin, self.out_channels),
         )
-        b, h, w, _ = x.shape
-        if h % 2 or w % 2:
+        b, h, w, c = x.shape
+        pre_blocked = c == 4 * cin  # input pipeline already did space_to_depth
+        if not pre_blocked and (h % 2 or w % 2):
             return jax.lax.conv_general_dilated(
                 x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -135,9 +137,12 @@ class _StemConv(nn.Module):
         k2 = (k2.reshape(4, 2, 4, 2, cin, self.out_channels)
                 .transpose(0, 2, 1, 3, 4, 5)
                 .reshape(4, 4, 4 * cin, self.out_channels))
-        x2 = (x.reshape(b, h // 2, 2, w // 2, 2, cin)
-               .transpose(0, 1, 3, 2, 4, 5)
-               .reshape(b, h // 2, w // 2, 4 * cin))
+        if pre_blocked:
+            x2 = x
+        else:
+            x2 = (x.reshape(b, h // 2, 2, w // 2, 2, cin)
+                   .transpose(0, 1, 3, 2, 4, 5)
+                   .reshape(b, h // 2, w // 2, 4 * cin))
         return jax.lax.conv_general_dilated(
             x2.astype(self.dtype), k2.astype(self.dtype), (1, 1),
             [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -245,3 +245,24 @@ def test_fpn_level_map():
     assert lv[0] == 1
     assert lv[1] == 0
     assert lv[2] == 3  # floor(4 + log2(1001/224)) = floor(6.16) = 6 -> idx 3
+
+
+def test_stem_accepts_host_s2d_input():
+    """Pre-blocked (H/2, W/2, 12) pixels produce identical detections."""
+    from oneshotdet_tpu.data.transforms import space_to_depth
+    from oneshotdet_tpu.models.resnet import _StemConv
+
+    m = _StemConv(64, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y3 = m.apply(v, x)
+    x12 = jnp.asarray(space_to_depth(np.asarray(x)))
+    assert x12.shape == (2, 32, 48, 12)
+    y12 = m.apply(v, x12)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y12), atol=1e-6)
+    # and both match the direct 7x7/2 convolution
+    ref = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(ref), atol=1e-4)
