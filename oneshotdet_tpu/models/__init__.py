@@ -1,3 +1,4 @@
+from . import fbnet  # registers FBNet backbone/rpn/roi builders
 from .detector import DetectorConfig, GeneralizedRCNN, build_detection_model, detector_config_from_cfg
 from .fcos import FCOSHead, compute_locations, fcos_losses, fcos_postprocess, fcos_targets
 from .fpn import FPN, ResNetFPN
