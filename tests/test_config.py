@@ -47,6 +47,23 @@ def test_reference_yaml_loads(tmp_path):
         0.125, 0.0625, 0.03125, 0.015625, 0.0078125)
 
 
+def test_all_shipped_and_reference_yamls_load():
+    """Config-smoke sweep (reference tests/test_configs.py pattern): every
+    yaml under configs/, plus every reference yaml, merges cleanly."""
+    import glob
+
+    here = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(here, "*.yaml")))
+    if os.path.isdir("/root/reference/configs"):
+        files += sorted(glob.glob("/root/reference/configs/**/*.yaml",
+                                  recursive=True))
+    assert files
+    for f in files:
+        c = cfg.clone()
+        c.merge_from_file(f)
+        assert c.MODEL.META_ARCHITECTURE == "GeneralizedRCNN", f
+
+
 def test_tuple_coercion(tmp_path):
     y = tmp_path / "t.yaml"
     y.write_text(textwrap.dedent("""

@@ -65,9 +65,11 @@ def main():
     sizes = jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1))
     supp_sizes = jnp.tile(jnp.array([[400.0, 400.0]]), (b, 1))
 
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), disable_pallas():
         imgs_s = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]]))
         variables = model.init({"params": jax.random.PRNGKey(0)}, imgs_s, imgs_s, train=False)
     variables = jax.device_put(variables, jax.devices()[0])
