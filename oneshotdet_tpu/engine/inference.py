@@ -21,10 +21,15 @@ from ..structures.image_batch import ImageBatch
 from ..utils.metric_logger import Timer
 
 
-def make_eval_step(model):
-    """Jitted eval forward: (variables, batch) -> detection arrays."""
+def make_eval_step(model, mesh=None):
+    """Jitted eval forward: (variables, batch) -> detection arrays.
 
-    @jax.jit
+    With a mesh, the batch is sharded over the ``data`` axis and variables
+    are replicated — eval scales over all chips the way the reference
+    scales over DDP ranks (engine/inference.py:50-66 + DistributedSampler),
+    but in one process with XLA placing the work.
+    """
+
     def eval_step(variables, batch):
         images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
         supp = ImageBatch(pixels=batch["supp_pixels"], sizes=batch["supp_sizes"])
@@ -33,7 +38,15 @@ def make_eval_step(model):
         )
         return dets.xyxy, dets.get_field("scores"), dets.get_field("labels"), dets.valid
 
-    return eval_step
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(replicated, sharded),
+                   out_shardings=sharded)
 
 
 def compute_on_dataset(
@@ -42,11 +55,16 @@ def compute_on_dataset(
     data_loader,
     stop_iter: Optional[int] = None,
     logger=None,
+    mesh=None,
 ) -> List[Optional[dict]]:
     """Run eval over the loader; returns per-episode prediction dicts aligned
     with dataset order (None for episodes never reached, e.g. stop_iter —
     FEW_SHOT.STOP_ITER truncation, inference.py:126-127)."""
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, mesh=mesh)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        variables = replicate(variables, mesh)
     results: dict = {}
     timer = Timer()
     n_images = 0
@@ -55,6 +73,8 @@ def compute_on_dataset(
             break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("img_ids", "idxs")}
+        if mesh is not None:
+            jbatch = shard_batch(jbatch, mesh)
         timer.tic()
         xyxy, scores, labels, valid = eval_step(variables, jbatch)
         jax.block_until_ready(xyxy)
@@ -95,13 +115,15 @@ def inference(
     output_folder: Optional[str] = None,
     stop_iter: Optional[int] = None,
     logger=None,
+    mesh=None,
 ):
     """Full inference + evaluation (inference.py:155-213)."""
     from ..data.evaluation import evaluate
     from ..utils import comm
 
     t0 = time.time()
-    results_by_idx = compute_on_dataset(model, variables, data_loader, stop_iter, logger)
+    results_by_idx = compute_on_dataset(model, variables, data_loader,
+                                        stop_iter, logger, mesh=mesh)
     if logger:
         logger.info(f"inference wall time: {time.time() - t0:.1f}s")
     # multi-host: merge per-host prediction dicts (the pickle-all_gather

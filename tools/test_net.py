@@ -88,10 +88,19 @@ def main():
             vars_ = {"params": state.params, "constants": state.constants}
         else:
             vars_ = variables
-        vars_ = jax.device_put(vars_, jax.devices()[0])
         fresh_loader, _ = make_data_loader(c, is_train=False)
         stop = c.FEW_SHOT.STOP_ITER if c.FEW_SHOT.STOP_ITER > 0 else None
-        return inference(c, model, vars_, fresh_loader, dataset, out_dir, stop, logger)
+        # shard eval over all local chips when the batch divides the mesh
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and c.TEST.IMS_PER_BATCH % n_dev == 0:
+            from oneshotdet_tpu.parallel import make_mesh
+
+            mesh = make_mesh(("data",))
+        else:
+            vars_ = jax.device_put(vars_, jax.devices()[0])
+        return inference(c, model, vars_, fresh_loader, dataset, out_dir, stop,
+                         logger, mesh=mesh)
 
     if args.seq_test:
         files = sorted(glob.glob(os.path.join(c.TEST.LOAD_DIR, "model_*")))
