@@ -69,11 +69,13 @@ def main():
 
     model = build_detection_model(c)
     rng = np.random.RandomState(0)
-    # one distinct input batch PER ITERATION: the device runtime memoizes
-    # identical executions, so any repeat would measure dispatch, not compute.
-    # (Streaming-throughput protocol validated against a per-iteration
-    # host-materialization run: marginal cost per extra batch matches.)
-    n_variants = args.iters
+    # one distinct input batch PER ITERATION — including warmup: the device
+    # runtime memoizes (program, input-buffer) pairs persistently, so a
+    # buffer seen during warmup replays for free if timed later. Timing must
+    # only touch never-before-seen buffers. (Streaming-throughput protocol
+    # validated against a per-iteration host-materialization run: marginal
+    # cost per extra batch matches.)
+    n_variants = args.iters + args.warmup + 1
     from oneshotdet_tpu.data.transforms import space_to_depth
 
     # production input pipeline delivers 2x2-blocked pixels (TPU.HOST_S2D)
@@ -125,15 +127,17 @@ def main():
     jax.block_until_ready(out)
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # first compile ran on variant 0; warmup uses variants 1..warmup;
+    # the timed loop only ever sees variants warmup+1 .. warmup+iters
     for i in range(args.warmup):
-        out = forward(variables, pixel_variants[i % n_variants],
-                      supp_variants[i % n_variants])
+        out = forward(variables, pixel_variants[1 + i], supp_variants[1 + i])
     jax.block_until_ready(out)
 
+    base = args.warmup + 1
     t0 = time.perf_counter()
     for i in range(args.iters):
-        out = forward(variables, pixel_variants[i % n_variants],
-                      supp_variants[i % n_variants])
+        out = forward(variables, pixel_variants[base + i],
+                      supp_variants[base + i])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -49,6 +49,47 @@ def make_eval_step(model, mesh=None):
                    out_shardings=sharded)
 
 
+def make_cached_support_eval_steps(model, mesh=None):
+    """Eval split into (support-features once per class) + (query forward).
+
+    The per-class seq_test protocol (FEW_SHOT.CHOOSE_SELECTED) evaluates
+    thousands of queries against a handful of FIXED supports; the reference
+    still runs the support backbone every batch (generalized_rcnn.py:271-274).
+    Here support features are computed once per distinct support and the
+    query step consumes them, skipping the support branch entirely.
+    """
+
+    def support_step(variables, supp_pixels, supp_sizes):
+        supp = ImageBatch(pixels=supp_pixels, sizes=supp_sizes)
+        return model.apply(
+            variables, supp, 1,
+            method=lambda m, s, n: m.compute_support_features(s, n),
+        )
+
+    def query_step(variables, batch, supp_pooled, supp_7x7):
+        images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
+        dets = model.apply(
+            variables, images, supp_pooled, supp_7x7, batch["target_ids"],
+            method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t),
+        )
+        return dets.xyxy, dets.get_field("scores"), dets.get_field("labels"), dets.valid
+
+    if mesh is None:
+        return jax.jit(support_step), jax.jit(query_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return (
+        jax.jit(support_step, in_shardings=(replicated, replicated, replicated),
+                out_shardings=replicated),
+        jax.jit(query_step,
+                in_shardings=(replicated, sharded, sharded, sharded),
+                out_shardings=sharded),
+    )
+
+
 def compute_on_dataset(
     model,
     variables,
@@ -56,11 +97,20 @@ def compute_on_dataset(
     stop_iter: Optional[int] = None,
     logger=None,
     mesh=None,
+    cache_supports: bool = False,
 ) -> List[Optional[dict]]:
     """Run eval over the loader; returns per-episode prediction dicts aligned
     with dataset order (None for episodes never reached, e.g. stop_iter —
-    FEW_SHOT.STOP_ITER truncation, inference.py:126-127)."""
-    eval_step = make_eval_step(model, mesh=mesh)
+    FEW_SHOT.STOP_ITER truncation, inference.py:126-127).
+
+    cache_supports: compute support features once per target class and skip
+    the support backbone afterwards — valid when the support for a class is
+    fixed across episodes (FEW_SHOT.CHOOSE_SELECTED protocol)."""
+    if cache_supports:
+        support_step, query_step = make_cached_support_eval_steps(model, mesh=mesh)
+        supp_cache: dict = {}
+    else:
+        eval_step = make_eval_step(model, mesh=mesh)
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_batch
 
@@ -76,7 +126,26 @@ def compute_on_dataset(
         if mesh is not None:
             jbatch = shard_batch(jbatch, mesh)
         timer.tic()
-        xyxy, scores, labels, valid = eval_step(variables, jbatch)
+        if cache_supports:
+            b = jbatch["query_pixels"].shape[0]
+            spp = jbatch["supp_pixels"].shape[0] // b  # shots (+aug) per image
+            tids = np.asarray(batch["target_ids"]).tolist()
+            for i, tid in enumerate(tids):
+                if tid not in supp_cache:
+                    supp_cache[tid] = support_step(
+                        variables,
+                        jbatch["supp_pixels"][i * spp:(i + 1) * spp],
+                        jbatch["supp_sizes"][i * spp:(i + 1) * spp],
+                    )
+            pooled = [
+                jnp.concatenate([supp_cache[t][0][lvl] for t in tids], axis=0)
+                for lvl in range(len(supp_cache[tids[0]][0]))
+            ]
+            supp_7x7 = jnp.concatenate([supp_cache[t][1] for t in tids], axis=0)
+            xyxy, scores, labels, valid = query_step(
+                variables, jbatch, pooled, supp_7x7)
+        else:
+            xyxy, scores, labels, valid = eval_step(variables, jbatch)
         jax.block_until_ready(xyxy)
         dt = timer.toc()
         b = batch["query_pixels"].shape[0]
@@ -122,8 +191,12 @@ def inference(
     from ..utils import comm
 
     t0 = time.time()
+    # fixed per-class supports -> support features are computed once per
+    # class and cached (the reference reruns the support backbone per batch)
+    cache_supports = bool(cfg.FEW_SHOT.CHOOSE_SELECTED) and not cfg.FEW_SHOT.SUPP_AUG
     results_by_idx = compute_on_dataset(model, variables, data_loader,
-                                        stop_iter, logger, mesh=mesh)
+                                        stop_iter, logger, mesh=mesh,
+                                        cache_supports=cache_supports)
     if logger:
         logger.info(f"inference wall time: {time.time() - t0:.1f}s")
     # multi-host: merge per-host prediction dicts (the pickle-all_gather

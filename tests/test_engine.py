@@ -126,6 +126,60 @@ def test_mesh_sharded_eval_8_devices():
 
 
 @pytest.mark.slow
+def test_cached_support_eval_matches_plain():
+    """compute_on_dataset(cache_supports=True) must produce identical
+    detections: the support branch is bit-identical, just hoisted out of
+    the per-batch loop."""
+    import numpy as np
+
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.engine.inference import compute_on_dataset
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.utils.synthetic import make_episodic_batch
+
+    c = cfg.clone()
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.FEW_SHOT.SUPP_ROIALIGN = True
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 50
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+    model = build_detection_model(c)
+
+    batches = []
+    for seed in range(2):
+        batch = make_episodic_batch(2, (64, 64), (32, 32), max_gt=4, seed=seed)
+        batch["target_ids"] = np.array([1, 2], np.int32)
+        batch["idxs"] = np.arange(2) + 2 * seed
+        batch["img_ids"] = batch["idxs"]
+        batches.append(batch)
+    # same class -> same support tensor across batches (CHOOSE_SELECTED-like)
+    batches[1]["supp_pixels"] = batches[0]["supp_pixels"].copy()
+    batches[1]["supp_sizes"] = batches[0]["supp_sizes"].copy()
+
+    from oneshotdet_tpu.structures import ImageBatch
+    images = ImageBatch(pixels=jnp.asarray(batches[0]["query_pixels"]),
+                        sizes=jnp.asarray(batches[0]["query_sizes"]))
+    supp = ImageBatch(pixels=jnp.asarray(batches[0]["supp_pixels"]),
+                      sizes=jnp.asarray(batches[0]["supp_sizes"]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                           train=False)
+
+    plain = compute_on_dataset(model, variables, batches)
+    cached = compute_on_dataset(model, variables, batches, cache_supports=True)
+    assert sorted(plain.keys()) == sorted(cached.keys())
+    for k in plain:
+        np.testing.assert_allclose(plain[k]["boxes"], cached[k]["boxes"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(plain[k]["scores"], cached[k]["scores"],
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_graft_entry_forward():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import entry

@@ -21,17 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_cycled(fn, variant_args, iters=12, warmup=3):
-    """Time fn over cycled distinct inputs; returns ms/call."""
+def timed_cycled(fn, variant_args, iters=None, warmup=2):
+    """Time fn over DISTINCT inputs — one variant per iteration.
+
+    The axon runtime memoizes (program, input-buffer) pairs persistently, so
+    even cycling a few variants replays cached results after the first pass;
+    every timed iteration must see a fresh buffer (iters = #variants, and
+    warmup must not consume timing variants).
+    """
     n = len(variant_args)
-    out = fn(*variant_args[0])
+    out = fn(*variant_args[0])          # compile + first run on variant 0
     jax.block_until_ready(out)
     for i in range(warmup):
-        out = fn(*variant_args[i % n])
+        out = fn(*variant_args[1])      # warmup burns variant 1 only
     jax.block_until_ready(out)
+    iters = n - 2                       # variants 2..n-1 are never-seen
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(*variant_args[i % n])
+    for i in range(2, n):
+        out = fn(*variant_args[i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters * 1000
 
@@ -136,9 +143,19 @@ def main():
              "+ roi pooling", "+ roi head + final (FULL)"]
     stages = [stage1, stage2, stage3, stage4, stage5]
     times = []
+
+    def scalarize(tree):
+        # reduce every output to one scalar: forces the runtime to actually
+        # execute the whole program before block_until_ready returns (large
+        # intermediate outputs can otherwise report ready lazily over the
+        # tunnel), and keeps result transfer negligible
+        leaves = [x.sum().astype(jnp.float32) for x in jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, "sum")]
+        return sum(leaves)
+
     for name, st in zip(names, stages):
-        f = jax.jit(lambda v, q, s, _st=st: model.apply(
-            v, q, s, method=lambda m, qq, ss: _st(m, qq, ss)))
+        f = jax.jit(lambda v, q, s, _st=st: scalarize(model.apply(
+            v, q, s, method=lambda m, qq, ss: _st(m, qq, ss))))
         t0 = time.time()
         ms = timed_cycled(lambda q, s, _f=f: _f(variables, q, s), variants)
         print(f"[compiled+timed {name} in {time.time() - t0:.0f}s]",
