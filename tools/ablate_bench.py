@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Cost attribution by ablation of the FULL eval program.
+
+Stage-level micro-timing is unreliable over the device tunnel (per-dispatch
+latency ~20 ms dwarfs small programs, and host-content executions can be
+memoized across processes). What IS reliable: the bench.py protocol — one
+jitted full forward, fresh-content input per timed iteration, pipelined
+dispatch, block at the end. So each ablation is a model variant benched with
+that protocol; cost of a component = bench(full) - bench(without it).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.config import cfg  # noqa
+    from oneshotdet_tpu.data.transforms import space_to_depth
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    from oneshotdet_tpu.structures import ImageBatch
+
+    model = build_detection_model(c)
+    qh, qw = qhw
+    sh, sw = shw
+    rng = np.random.RandomState(seed_base)
+    n = iters + warmup + 1
+    pix = [jnp.asarray(space_to_depth(rng.randn(b, qh, qw, 3).astype(np.float32)))
+           for _ in range(n)]
+    sup = [jnp.asarray(space_to_depth(rng.randn(b, sh, sw, 3).astype(np.float32)))
+           for _ in range(n)]
+    sizes = jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1))
+    supp_sizes = jnp.tile(jnp.array([[400.0, 400.0]]), (b, 1))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), disable_pallas():
+        small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                           sizes=jnp.array([[64.0, 64.0]]))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                               train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    if mode == "cached_support":
+        supp_b = ImageBatch(pixels=sup[0], sizes=supp_sizes)
+        supp_feats = jax.jit(lambda v, s: model.apply(
+            v, s, b, method=lambda m, ss, nn: m.compute_support_features(ss, nn))
+        )(variables, supp_b)
+        jax.block_until_ready(supp_feats)
+
+        @jax.jit
+        def forward(v, q, s):
+            images = ImageBatch(pixels=q, sizes=sizes)
+            dets = model.apply(
+                v, images, supp_feats[0], supp_feats[1],
+                jnp.ones((b,), jnp.int32),
+                method=lambda m, im, p, s7, t: m.detect_with_support(im, p, s7, t))
+            if hasattr(dets, "xyxy"):
+                return dets.xyxy, dets.get_field("scores"), dets.valid
+            return dets
+    else:
+        @jax.jit
+        def forward(v, q, s):
+            images = ImageBatch(pixels=q, sizes=sizes)
+            supp = ImageBatch(pixels=s, sizes=supp_sizes)
+            dets = model.apply(v, images, supp,
+                               target_ids=jnp.ones((b,), jnp.int32), train=False)
+            if hasattr(dets, "xyxy"):
+                return dets.xyxy, dets.get_field("scores"), dets.valid
+            return dets
+
+    out = forward(variables, pix[0], sup[0])
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = forward(variables, pix[1 + i], sup[1 + i])
+    jax.block_until_ready(out)
+    base = warmup + 1
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = forward(variables, pix[base + i], sup[base + i])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters * 1000
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--only", nargs="*", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from oneshotdet_tpu.config import cfg
+
+    def base_cfg():
+        c = cfg.clone()
+        c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
+        c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+        c.MODEL.RETINANET.USE_C5 = False
+        c.FEW_SHOT.SIAMESE_BACKBONE = True
+        c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+        c.FEW_SHOT.SUPP_ROIALIGN = True
+        c.TPU.COMPUTE_DTYPE = "bfloat16"
+        c.TPU.HOST_S2D = True
+        return c
+
+    ablations = {}
+    ablations["full"] = (base_cfg(), "full")
+
+    c = base_cfg(); c.MODEL.RPN_ONLY = True
+    ablations["rpn_only (no stage2)"] = (c, "full")
+
+    c = base_cfg(); c.MODEL.FCOS.NUM_CONVS = 0
+    ablations["no towers (NUM_CONVS=0)"] = (c, "full")
+
+    c = base_cfg(); c.MODEL.FCOS.NUM_CONVS = 2
+    ablations["half towers (NUM_CONVS=2)"] = (c, "full")
+
+    ablations["cached support"] = (base_cfg(), "cached_support")
+
+    c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
+    ablations["1000 proposals (vs 2000)"] = (c, "full")
+
+    names = args.only if args.only else list(ablations)
+    results = {}
+    b = args.batch
+    for i, name in enumerate(names):
+        c, mode = ablations[name]
+        t0 = time.time()
+        ms = bench_model(c, b, (832, 1216), (416, 416), iters=args.iters,
+                         mode=mode, seed_base=1000 + i)
+        results[name] = ms
+        print(f"{name:28s} {ms:8.2f} ms/batch  {ms / b:6.2f} ms/im   "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+
+    if "full" in results:
+        full = results["full"]
+        print("\ndeltas vs full:")
+        for name, ms in results.items():
+            if name != "full":
+                print(f"  {name:28s} saves {full - ms:7.2f} ms/batch "
+                      f"({(full - ms) / b:5.2f} ms/im)")
+
+
+if __name__ == "__main__":
+    main()
