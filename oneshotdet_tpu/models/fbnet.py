@@ -33,7 +33,13 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .registry import BACKBONES, ROI_BOX_FEATURE_EXTRACTORS, RPN_HEADS
+from .registry import (
+    BACKBONES,
+    ROI_BOX_FEATURE_EXTRACTORS,
+    ROI_KEYPOINT_FEATURE_EXTRACTORS,
+    ROI_MASK_FEATURE_EXTRACTORS,
+    RPN_HEADS,
+)
 
 # ---------------------------------------------------------------------------
 # Architecture definitions (data tables, re-expressed flat).
@@ -562,6 +568,7 @@ class FBNetROIHead(nn.Module):
     stride_init: int = 0         # overwrite first block's stride (0 = keep)
     last_scale: float = 1.0
     use_blocks: Tuple[int, ...] = ()
+    spatial: bool = False        # mask/kpts heads keep the spatial map
     dw_skip_norm: bool = False
     dw_skip_relu: bool = False
     gn_groups: int = 32
@@ -601,8 +608,11 @@ class FBNetROIHead(nn.Module):
                 x = ConvNormAct(ch, kernel=1, norm=self.norm,
                                 gn_groups=self.gn_groups, dtype=self.dtype,
                                 name="last")(x)
-        # global pool to a per-ROI embedding (the reference's heads finish
-        # with avg-pool + fc in their predictors)
+        if self.spatial:
+            # mask/kpts predictors consume the spatial map
+            return x.reshape(b, r, *x.shape[1:])
+        # bbox: global pool to a per-ROI embedding (the reference's box
+        # predictor avg-pools + fc)
         x = jnp.mean(x, axis=(1, 2))
         return x.reshape(b, r, -1)
 
@@ -647,6 +657,29 @@ def _fbnet_roi_head(cfg, dtype):
     )
 
 
+def _fbnet_kpts_head(cfg, dtype):
+    return FBNetROIHead(
+        head_name="kpts",
+        stride_init=cfg.MODEL.FBNET.KPTS_HEAD_STRIDE,
+        last_scale=cfg.MODEL.FBNET.KPTS_HEAD_LAST_SCALE,
+        use_blocks=tuple(cfg.MODEL.FBNET.KPTS_HEAD_BLOCKS),
+        spatial=True, dtype=dtype, **_builder_opts(cfg),
+    )
+
+
+def _fbnet_mask_head(cfg, dtype):
+    return FBNetROIHead(
+        head_name="mask",
+        stride_init=cfg.MODEL.FBNET.MASK_HEAD_STRIDE,
+        last_scale=cfg.MODEL.FBNET.MASK_HEAD_LAST_SCALE,
+        use_blocks=tuple(cfg.MODEL.FBNET.MASK_HEAD_BLOCKS),
+        spatial=True, dtype=dtype, **_builder_opts(cfg),
+    )
+
+
 BACKBONES.register("FBNet", _fbnet_backbone)
 RPN_HEADS.register("FBNet.rpn_head", _fbnet_rpn_head)
 ROI_BOX_FEATURE_EXTRACTORS.register("FBNet.roi_head", _fbnet_roi_head)
+ROI_KEYPOINT_FEATURE_EXTRACTORS.register("FBNet.roi_head_keypoints",
+                                         _fbnet_kpts_head)
+ROI_MASK_FEATURE_EXTRACTORS.register("FBNet.roi_head_mask", _fbnet_mask_head)

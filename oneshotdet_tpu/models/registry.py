@@ -13,6 +13,8 @@ BACKBONES = Registry()
 RPN_HEADS = Registry()
 ROI_BOX_FEATURE_EXTRACTORS = Registry()
 ROI_BOX_PREDICTORS = Registry()
+ROI_KEYPOINT_FEATURE_EXTRACTORS = Registry()
+ROI_MASK_FEATURE_EXTRACTORS = Registry()
 META_ARCHITECTURES = Registry()
 
 

@@ -147,6 +147,21 @@ def test_registry_builders_from_cfg():
     v = roi.init(jax.random.PRNGKey(0), rf)
     assert roi.apply(v, rf).ndim == 3
 
+    from oneshotdet_tpu.models.registry import (
+        ROI_KEYPOINT_FEATURE_EXTRACTORS,
+        ROI_MASK_FEATURE_EXTRACTORS,
+    )
+
+    # mask head of the "default" arch upsamples 2x (stride -2 tail block)
+    c2 = cfg.clone()
+    mask = ROI_MASK_FEATURE_EXTRACTORS["FBNet.roi_head_mask"](c2, jnp.float32)
+    v = mask.init(jax.random.PRNGKey(0), rf)
+    out = mask.apply(v, rf)
+    assert out.shape[:2] == (1, 2) and out.shape[2:4] == (14, 14)
+    # kpts falls back to the generic "head"/bbox stage when absent; "default"
+    # has no kpts stage and no generic "head" -> skip (xirb16d has mask only)
+    assert "FBNet.roi_head_keypoints" in ROI_KEYPOINT_FEATURE_EXTRACTORS
+
 
 def test_add_archs_and_inline_def():
     custom = {
