@@ -49,7 +49,13 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                                train=False)
     variables = jax.device_put(variables, jax.devices()[0])
 
-    if mode == "cached_support":
+    if mode == "backbone_only":
+        @jax.jit
+        def forward(v, q, s):
+            feats = model.apply(v, q, method=lambda m, qq: m.backbone(
+                qq.astype(m.dtype)))
+            return [x.astype(jnp.float32).sum() for x in feats]
+    elif mode == "cached_support":
         supp_b = ImageBatch(pixels=sup[0], sizes=supp_sizes)
         supp_feats = jax.jit(lambda v, s: model.apply(
             v, s, b, method=lambda m, ss, nn: m.compute_support_features(ss, nn))
@@ -130,6 +136,10 @@ def main():
     ablations["half towers (NUM_CONVS=2)"] = (c, "full")
 
     ablations["cached support"] = (base_cfg(), "cached_support")
+    ablations["backbone only (query)"] = (base_cfg(), "backbone_only")
+
+    c = base_cfg(); c.TPU.COMPUTE_DTYPE = "float32"
+    ablations["full fp32"] = (c, "full")
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")
