@@ -64,8 +64,83 @@ def pallas_enabled() -> bool:
     return not _DISABLED and jax.default_backend() != "cpu"
 
 
+def _interp_weights_xla(start, bin_sz, origin, true_dim, g: int, pooled: int,
+                        width: int):
+    """Vectorized (S, pooled, width) interpolation matrices — the exact
+    per-ROI formula of the in-kernel interp_binned, hoisted to XLA where it
+    vectorizes across all ROIs at once. In-kernel construction costs dozens
+    of tiny (7, width) VPU ops per ROI and dominates the kernel's runtime
+    (measured: unrolling the ROI loop gains nothing — the work, not the
+    serial chain, is the bottleneck)."""
+    s = start.shape[0]
+    bins = jnp.arange(pooled, dtype=jnp.float32)[None, :, None]
+    cells = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    start = start[:, None, None]
+    bin_sz = bin_sz[:, None, None]
+    origin = origin[:, None, None]
+    true_dim = true_dim[:, None, None]
+    gf = float(g)
+    m_total = jnp.zeros((s, pooled, width), jnp.float32)
+    for sub in range(g):
+        pos = start + (bins + (sub + 0.5) / gf) * bin_sz
+        in_range = (pos >= -1.0) & (pos <= true_dim)
+        posc = jnp.maximum(pos, 0.0)
+        low = jnp.minimum(jnp.floor(posc), true_dim - 1.0)
+        high = jnp.minimum(low + 1.0, true_dim - 1.0)
+        posf = jnp.where(low >= true_dim - 1.0, low, posc)
+        lfrac = posf - low
+        m = (cells == jnp.clip(low - origin, 0.0, width - 1.0)) * (1 - lfrac) + (
+            cells == jnp.clip(high - origin, 0.0, width - 1.0)
+        ) * lfrac
+        m_total = m_total + m * in_range.astype(jnp.float32)
+    return m_total * (1.0 / gf)
+
+
+def _make_kernel_pw(windows, pooled: int, c: int, t: int,
+                    slab_h: int, w_pad: int, precision=None):
+    """Kernel for precomputed interpolation weights: per ROI just an aligned
+    VMEM window slice and the two pooling matmuls."""
+    max_win = max(windows)
+
+    def kernel(c_bb, c_bl, c_bt, c_bn, c_y0, c_x0, wy_ref, wx_ref,
+               slab_ref, out_ref):
+        del c_bb, c_bl
+        k = pl.program_id(0)
+
+        def compute(i, win):
+            winw = win + 8
+            y0i = c_y0[k * t + i]
+            x0i = pl.multiple_of(c_x0[k * t + i], 8)
+            wyb = wy_ref[i, :, :win]
+            wxb = wx_ref[i, :, :winw]
+            winv = slab_ref[0, pl.ds(y0i, win), pl.ds(x0i, winw), :]
+            rows = jax.lax.dot_general(
+                wyb.astype(winv.dtype), winv.reshape(win, winw * c),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (pooled, winw*C)
+            out = jax.lax.dot_general(
+                wxb, rows.reshape(pooled, winw, c), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (pooled_x, pooled_y, C)
+            out_ref[i] = out.transpose(1, 0, 2).astype(out_ref.dtype)
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        def body(i, _):
+            for tid, win in enumerate(windows):
+                @pl.when(c_bt[k] == tid)
+                def _(win=win):
+                    compute(i, win)
+            return 0
+
+        jax.lax.fori_loop(0, c_bn[k], body, 0)
+
+    return kernel
+
+
 def _make_kernel(windows, pooled: int, g: int, c: int, t: int,
-                 slab_h: int, w_pad: int, precision=None):
+                 slab_h: int, w_pad: int, precision=None, unroll: int = 1):
     def kernel(c_bb, c_bl, c_bt, c_bn, c_thr, c_twr, c_sh, c_sw, c_bh, c_bw,
                slab_ref, out_ref):
         # c_bb/c_bl (slab selection) are consumed by the index_map; the
@@ -133,21 +208,31 @@ def _make_kernel(windows, pooled: int, g: int, c: int, t: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
         def body(i, _):
-            # the block's tier is constant; pl.when picks the static window
+            # the block's tier is constant; pl.when picks the static window.
+            # ``unroll`` independent ROIs per iteration let Mosaic overlap
+            # their serial slice->matmul->store chains.
             for tid, win in enumerate(windows):
                 @pl.when(c_bt[k] == tid)
                 def _(win=win):
-                    compute(i, win)
+                    for u in range(unroll):
+                        idx = i * unroll + u
+                        if unroll == 1:
+                            compute(idx, win)
+                        else:
+                            @pl.when(idx < c_bn[k])
+                            def _(idx=idx, win=win):
+                                compute(idx, win)
             return 0
 
-        jax.lax.fori_loop(0, c_bn[k], body, 0)
+        jax.lax.fori_loop(0, (c_bn[k] + unroll - 1) // unroll, body, 0)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "scales", "sampling_ratio", "windows", "rois_per_step"),
+    static_argnames=("output_size", "scales", "sampling_ratio", "windows",
+                     "rois_per_step", "unroll", "interp_mode"),
 )
 def pallas_multilevel_roi_align(
     features,
@@ -159,6 +244,8 @@ def pallas_multilevel_roi_align(
     windows=(16, 32, 64),
     rois_per_step: int = 64,
     valid=None,
+    unroll: int = 1,
+    interp_mode: str = "kernel",
 ):
     """Drop-in replacement for multilevel_roi_align (forward, TPU).
 
@@ -246,17 +333,72 @@ def pallas_multilevel_roi_align(
         return jnp.zeros((nslots,), jnp.float32).at[slot_sorted].set(
             vals[order].astype(jnp.float32))
 
-    c_sh = scatter(start_h)
-    c_sw = scatter(start_w)
-    c_bh = scatter(bin_h)
-    c_bw = scatter(bin_w)
     slot_orig = jnp.zeros((r,), jnp.int32).at[order].set(slot_sorted)
 
     # f32 inputs get full-precision MXU passes so results match the XLA
     # path bit-closely; bf16 inputs keep the fast default passes
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
-    kernel = _make_kernel(windows, pooled, g, c, t, slab_h, w_pad, precision)
+    if interp_mode == "precomputed":
+        # Experiment (kept for reference): interpolation matrices built in
+        # XLA, vectorized over all ROIs. Measured SLOWER than the in-kernel
+        # construction (37.2 vs 33.4 ms at 16k synthetic ROIs) — the kernel
+        # is bound by window VMEM traffic + store, not by the interp math,
+        # and the host-side scatter of the (R, 7, 64/72) weight tensors
+        # costs more than it saves. Bit-identical outputs (parity-checked
+        # in tools/tune_roialign.py).
+        max_win = max(windows)
+        win_r = jnp.array(windows, jnp.float32)[tier]
+        th_r = heights[levels]
+        tw_r = widths[levels]
+        y0 = jnp.clip(jnp.floor(start_h), 0.0, float(slab_h) - win_r)
+        x0c = jnp.clip(jnp.floor(start_w), 0.0, float(w_pad) - (win_r + 8.0))
+        x0 = jnp.floor(x0c / 8.0) * 8.0
+        wy = _interp_weights_xla(start_h, bin_h, y0, th_r, g, pooled, max_win)
+        wx = _interp_weights_xla(start_w, bin_w, x0, tw_r, g, pooled,
+                                 max_win + 8)
+
+        def scatter3(vals, width):
+            return jnp.zeros((nslots, pooled, width), jnp.float32).at[
+                slot_sorted].set(vals[order])
+
+        c_y0 = scatter(y0).astype(jnp.int32)
+        c_x0 = scatter(x0).astype(jnp.int32)
+        wy_s = scatter3(wy, max_win)
+        wx_s = scatter3(wx, max_win + 8)
+
+        kernel = _make_kernel_pw(windows, pooled, c, t, slab_h, w_pad,
+                                 precision)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((t, pooled, max_win), lambda k, *s: (k, 0, 0)),
+                pl.BlockSpec((t, pooled, max_win + 8), lambda k, *s: (k, 0, 0)),
+                pl.BlockSpec((1, slab_h, w_pad, c),
+                             lambda k, *s: (s[0][k], s[1][k], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((t, pooled, pooled, c),
+                                   lambda k, *s: (k, 0, 0, 0)),
+            scratch_shapes=[],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nslots, pooled, pooled, c), dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(1024 * 1024 * 110),
+            ),
+        )(blk_b, blk_l, blk_tier, blk_n, c_y0, c_x0, wy_s, wx_s, slabs)
+        return jnp.take(out, slot_orig, axis=0)
+
+    c_sh = scatter(start_h)
+    c_sw = scatter(start_w)
+    c_bh = scatter(bin_h)
+    c_bw = scatter(bin_w)
+
+    kernel = _make_kernel(windows, pooled, g, c, t, slab_h, w_pad, precision,
+                          unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(nb,),

@@ -49,6 +49,29 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                                train=False)
     variables = jax.device_put(variables, jax.devices()[0])
 
+    if mode == "no_gn":
+        # measure GroupNorm's total cost: patch GN to identity (NOT
+        # semantics-preserving — ablation only; run via --only, the patch
+        # poisons later ablations in the same process)
+        from flax import linen as fnn
+
+        fnn.GroupNorm.__call__ = lambda self, x: x
+
+    if mode == "no_pool":
+        # zero out ROI pooling (keeps every downstream shape): in-model
+        # cost of the Pallas ROIAlign = full - this
+        from oneshotdet_tpu.models.detector import GeneralizedRCNN
+
+        orig = GeneralizedRCNN._pool_rois
+
+        def fake_pool(self, features, boxes, use_pallas=False):
+            b, p = boxes.valid.shape
+            r = self.config.pooler_resolution
+            return jnp.zeros((b * p, r, r, features[0].shape[-1]),
+                             features[0].dtype)
+
+        GeneralizedRCNN._pool_rois = fake_pool
+
     if mode == "backbone_only":
         @jax.jit
         def forward(v, q, s):
@@ -140,6 +163,8 @@ def main():
 
     c = base_cfg(); c.TPU.COMPUTE_DTYPE = "float32"
     ablations["full fp32"] = (c, "full")
+    ablations["no_gn"] = (base_cfg(), "no_gn")
+    ablations["no_pool"] = (base_cfg(), "no_pool")
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")
