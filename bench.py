@@ -31,7 +31,7 @@ def main():
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--mode", default="eval", choices=["eval", "train"])
+    p.add_argument("--mode", default="eval", choices=["eval", "train", "latency"])
     args = p.parse_args()
 
     import jax
@@ -65,6 +65,9 @@ def main():
 
     if args.mode == "train":
         run_train_bench(c, args)
+        return
+    if args.mode == "latency":
+        run_latency_bench(c, args)
         return
 
     model = build_detection_model(c)
@@ -151,6 +154,80 @@ def main():
                 "value": round(img_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+def run_latency_bench(c, args):
+    """p50 single-image latency, streaming-predictor protocol: support
+    features cached (computed once per class), one query per call, blocking
+    per call — the BASELINE.md "p50 per-image latency" tracked metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.data.transforms import space_to_depth
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    from oneshotdet_tpu.structures import ImageBatch
+
+    qh, qw = args.query_hw
+    sh, sw = args.supp_hw
+    model = build_detection_model(c)
+    rng = np.random.RandomState(1)
+    n = args.iters + args.warmup + 1
+    pix = [jnp.asarray(space_to_depth(rng.randn(1, qh, qw, 3).astype(np.float32)))
+           for _ in range(n)]
+    supp_pix = jnp.asarray(space_to_depth(rng.randn(1, sh, sw, 3).astype(np.float32)))
+    sizes = jnp.array([[800.0, 1200.0]])
+    supp_sizes = jnp.array([[400.0, 400.0]])
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), disable_pallas():
+        small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                           sizes=jnp.array([[64.0, 64.0]]))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                               train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    supp_feats = jax.jit(lambda v: model.apply(
+        v, ImageBatch(pixels=supp_pix, sizes=supp_sizes), 1,
+        method=lambda m, s, nn_: m.compute_support_features(s, nn_))
+    )(variables)
+    jax.block_until_ready(supp_feats)
+
+    @jax.jit
+    def predict(v, q):
+        images = ImageBatch(pixels=q, sizes=sizes)
+        dets = model.apply(
+            v, images, supp_feats[0], supp_feats[1], jnp.ones((1,), jnp.int32),
+            method=lambda m, im, p, s7, t: m.detect_with_support(im, p, s7, t))
+        return dets.xyxy, dets.get_field("scores"), dets.valid
+
+    out = predict(variables, pix[0])
+    jax.block_until_ready(out)
+    for i in range(args.warmup):
+        out = predict(variables, pix[1 + i])
+    jax.block_until_ready(out)
+    lat = []
+    base = args.warmup + 1
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = predict(variables, pix[base + i])
+        jax.block_until_ready(out)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    print(f"p50 {p50:.2f} ms, min {lat[0]:.2f}, max {lat[-1]:.2f}",
+          file=sys.stderr)
+    # reference published 71 ms/image (FCOS_R_50_FPN_1x, pretrain README)
+    print(
+        json.dumps(
+            {
+                "metric": "oneshot_p50_latency_ms",
+                "value": round(p50, 2),
+                "unit": "ms",
+                "vs_baseline": round(71.0 / p50, 4),
             }
         )
     )

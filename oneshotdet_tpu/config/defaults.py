@@ -165,6 +165,9 @@ _C.DATASETS.TEST = ()
 
 _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 4
+# fork-based worker processes (torch DataLoader semantics); False falls back
+# to the GIL-bound thread pool (slow for production-size JPEGs)
+_C.DATALOADER.USE_PROCESS_WORKERS = True
 _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = False
 

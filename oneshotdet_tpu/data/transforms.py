@@ -236,6 +236,12 @@ def space_to_depth(arr: "np.ndarray") -> "np.ndarray":
     critical path (measured 3.5 ms/batch8 on v5e). Same byte count.
     """
     b, h, w, c = arr.shape
+    if arr.dtype == np.float32:
+        from ..csrc import space_to_depth_native
+
+        out = space_to_depth_native(arr)
+        if out is not None:
+            return out
     return np.ascontiguousarray(
         arr.reshape(b, h // 2, 2, w // 2, 2, c)
            .transpose(0, 1, 3, 2, 4, 5)

@@ -287,3 +287,58 @@ def test_fused_native_pipeline(synthetic_coco, small_cfg):
         diff = np.abs(b_py["query_pixels"] - b_nat["query_pixels"])
         assert diff.max() <= 2.0
         assert diff.mean() < 0.3
+
+
+def test_space_to_depth_native_matches_numpy():
+    from oneshotdet_tpu.csrc import space_to_depth_native
+
+    x = np.random.RandomState(1).randn(2, 64, 96, 3).astype(np.float32)
+    b, h, w, c = x.shape
+    ref = np.ascontiguousarray(
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+         .transpose(0, 1, 3, 2, 4, 5)
+         .reshape(b, h // 2, w // 2, 4 * c))
+    out = space_to_depth_native(x)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    assert np.array_equal(out, ref)
+
+
+def test_process_loader_matches_thread_loader(synthetic_coco, small_cfg):
+    """ProcessLoader (fork + shm ring) delivers the same batch structure as
+    the thread loader; arrays compared where the pipeline is deterministic
+    (query pixels, gt, ids)."""
+    import random as pyrandom
+
+    from oneshotdet_tpu.data.build import make_data_loader
+
+    ann_file, img_dir = synthetic_coco
+    os.environ["ONESHOT_CUSTOM_IMG_DIR"] = img_dir
+    os.environ["ONESHOT_CUSTOM_ANN_FILE"] = ann_file
+    c = small_cfg.clone()
+    c.DATASETS.TEST = ("custom",)
+    c.TEST.IMS_PER_BATCH = 2
+    c.DATALOADER.NUM_WORKERS = 2
+
+    def grab(use_procs, n=2):
+        cc = c.clone()
+        cc.DATALOADER.USE_PROCESS_WORKERS = use_procs
+        pyrandom.seed(0)
+        loader, _ = make_data_loader(cc, is_train=False)
+        out = []
+        for i, b in enumerate(loader):
+            out.append(b)
+            if i + 1 >= n:
+                break
+        return out
+
+    thread_batches = grab(False)
+    proc_batches = grab(True)
+    assert len(thread_batches) == len(proc_batches)
+    for tb, pb in zip(thread_batches, proc_batches):
+        assert tb["query_pixels"].shape == pb["query_pixels"].shape
+        np.testing.assert_array_equal(tb["query_pixels"], pb["query_pixels"])
+        np.testing.assert_array_equal(tb["gt_xyxy"], pb["gt_xyxy"])
+        np.testing.assert_array_equal(tb["idxs"], pb["idxs"])
+        np.testing.assert_array_equal(tb["img_ids"], pb["img_ids"])
+        assert tb["supp_pixels"].shape == pb["supp_pixels"].shape

@@ -72,6 +72,49 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
 
         GeneralizedRCNN._pool_rois = fake_pool
 
+    if mode == "double_backbone":
+        # run both backbones twice (second pass on x+1 so CSE can't elide
+        # it); delta vs full = one extra query+support backbone+FPN pass.
+        # This defeats the tunnel's content-memoization, which makes the
+        # standalone backbone program unmeasurable.
+        from typing import Any
+
+        from flax import linen as fnn
+
+        from oneshotdet_tpu.models import registry as reg
+        from oneshotdet_tpu.models.fpn import FPN
+        from oneshotdet_tpu.models.resnet import ResNet
+
+        class DoubleResNetFPN(fnn.Module):
+            depth: int = 50
+            out_channels: int = 256
+            use_c5_for_p6: bool = False
+            stride_in_1x1: bool = True
+            dtype: Any = None
+
+            @fnn.compact
+            def __call__(self, x):
+                body = ResNet(depth=self.depth,
+                              stride_in_1x1=self.stride_in_1x1,
+                              dtype=self.dtype, name="body")
+                fpn = FPN(out_channels=self.out_channels,
+                          use_c5_for_p6=self.use_c5_for_p6,
+                          dtype=self.dtype, name="fpn")
+                y1 = fpn(body(x))
+                y2 = fpn(body(x + 1.0))
+                return [a + b for a, b in zip(y1, y2)]
+
+        def build_double(cfg_, dtype):
+            return DoubleResNetFPN(
+                depth=50,
+                out_channels=cfg_.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+                use_c5_for_p6=cfg_.MODEL.RETINANET.USE_C5,
+                stride_in_1x1=cfg_.MODEL.RESNETS.STRIDE_IN_1X1,
+                dtype=dtype,
+            )
+
+        reg.BACKBONES["R-50-FPN-RETINANET"] = build_double
+
     if mode == "backbone_only":
         @jax.jit
         def forward(v, q, s):
@@ -165,6 +208,7 @@ def main():
     ablations["full fp32"] = (c, "full")
     ablations["no_gn"] = (base_cfg(), "no_gn")
     ablations["no_pool"] = (base_cfg(), "no_pool")
+    ablations["double_backbone"] = (base_cfg(), "double_backbone")
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")
