@@ -104,16 +104,11 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                 y2 = fpn(body(x + 1.0))
                 return [a + b for a, b in zip(y1, y2)]
 
-        def build_double(cfg_, dtype):
-            return DoubleResNetFPN(
-                depth=50,
-                out_channels=cfg_.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
-                use_c5_for_p6=cfg_.MODEL.RETINANET.USE_C5,
-                stride_in_1x1=cfg_.MODEL.RESNETS.STRIDE_IN_1X1,
-                dtype=dtype,
-            )
+        # the detector instantiates ResNetFPN directly (models/detector.py
+        # setup), so patch the symbol it closed over, not the registry
+        from oneshotdet_tpu.models import detector as det_mod
 
-        reg.BACKBONES["R-50-FPN-RETINANET"] = build_double
+        det_mod.ResNetFPN = DoubleResNetFPN
 
     if mode == "backbone_only":
         @jax.jit
@@ -148,6 +143,30 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
             if hasattr(dets, "xyxy"):
                 return dets.xyxy, dets.get_field("scores"), dets.valid
             return dets
+
+    if mode == "devgen_inputs":
+        # inputs generated on device inside the jit: isolates host->device
+        # upload cost from compute (delta vs full = upload share)
+        inner = forward
+
+        @jax.jit
+        def forward_seeded(v, seed):
+            key = jax.random.PRNGKey(seed)
+            q = jax.random.normal(key, pix[0].shape, jnp.float32)
+            s = jax.random.normal(jax.random.fold_in(key, 1), sup[0].shape,
+                                  jnp.float32)
+            return inner.__wrapped__(v, q, s)
+
+        out = forward_seeded(variables, 0)
+        jax.block_until_ready(out)
+        for i in range(warmup):
+            out = forward_seeded(variables, 1 + i)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = forward_seeded(variables, 100 + i)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1000
 
     out = forward(variables, pix[0], sup[0])
     jax.block_until_ready(out)
@@ -209,6 +228,7 @@ def main():
     ablations["no_gn"] = (base_cfg(), "no_gn")
     ablations["no_pool"] = (base_cfg(), "no_pool")
     ablations["double_backbone"] = (base_cfg(), "double_backbone")
+    ablations["devgen_inputs"] = (base_cfg(), "devgen_inputs")
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")

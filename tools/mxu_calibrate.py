@@ -45,6 +45,7 @@ def main():
         ("conv3x3 256->256 @8x104x152 x20", (8, 104, 152, 256), 256, 3, 20),
         ("conv3x3 64->64 @8x208x304 x20", (8, 208, 304, 64), 64, 3, 20),
         ("conv1x1 512->512 @16000x7x7 x20", (16000, 7, 7, 512), 512, 1, 20),
+        ("conv3x3 256->256 @16000x7x7 x8", (16000, 7, 7, 256), 256, 3, 8),
         ("matmul 8192x8192x8192 x4", None, None, None, 4),
     ]
     for name, shape, cout, k, depth in cases:
