@@ -122,3 +122,41 @@ class OneShotPredictor:
         # rescale back to the original frame
         boxes = boxes * np.array([w0 / ow, h0 / oh, w0 / ow, h0 / oh])
         return boxes, scores
+
+    # -- annotated-frame API (COCODemo.run_on_opencv_image, predictor.py:162) --
+
+    def overlay_boxes(self, image_rgb_u8: np.ndarray, boxes: np.ndarray,
+                      color=(255, 40, 40), width: int = 3) -> np.ndarray:
+        """Draw detection boxes (reference overlay_boxes, predictor.py:257)."""
+        from PIL import Image, ImageDraw
+
+        img = Image.fromarray(image_rgb_u8)
+        draw = ImageDraw.Draw(img)
+        for box in boxes:
+            draw.rectangle([float(v) for v in box], outline=color, width=width)
+        return np.asarray(img)
+
+    def overlay_scores(self, image_rgb_u8: np.ndarray, boxes: np.ndarray,
+                       scores: np.ndarray, label: str = "match",
+                       color=(255, 255, 0)) -> np.ndarray:
+        """Score/label text per box (reference overlay_class_names,
+        predictor.py:330 — one-shot has a single 'match' class)."""
+        from PIL import Image, ImageDraw
+
+        img = Image.fromarray(image_rgb_u8)
+        draw = ImageDraw.Draw(img)
+        for box, score in zip(boxes, scores):
+            draw.text((float(box[0]) + 2, float(box[1]) + 2),
+                      f"{label}: {score:.2f}", fill=color)
+        return np.asarray(img)
+
+    def run_on_opencv_image(self, image_bgr_u8: np.ndarray) -> np.ndarray:
+        """BGR frame in -> annotated BGR frame out — the reference's demo
+        entry point (predictor.py:162-185), fixed for the Siamese model
+        (the reference's calls model(image_list) single-arg and cannot run
+        the one-shot forward, SURVEY §3.4)."""
+        rgb = np.ascontiguousarray(image_bgr_u8[:, :, ::-1])
+        boxes, scores = self.run_on_image(rgb)
+        out = self.overlay_boxes(rgb, boxes)
+        out = self.overlay_scores(out, boxes, scores)
+        return np.ascontiguousarray(out[:, :, ::-1])

@@ -1,0 +1,68 @@
+"""Streaming predictor tests — support caching + the annotated-frame API
+(the reference's COCODemo surface, fixed for the Siamese forward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oneshotdet_tpu.config import cfg
+from oneshotdet_tpu.models import build_detection_model
+from oneshotdet_tpu.predictor import OneShotPredictor
+from oneshotdet_tpu.structures import ImageBatch
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    c = cfg.clone()
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 50
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.TPU.QUERY_BUCKETS = ((96, 128),)
+    c.TPU.SUPP_BUCKET = (64, 64)
+    c.INPUT.MIN_SIZE_TEST = 64
+    c.INPUT.MAX_SIZE_TEST = 96
+    c.INPUT.SUPP_MIN_SIZE_TEST = 32
+    c.INPUT.SUPP_MAX_SIZE_TEST = 48
+    c.TPU.HOST_S2D = False
+
+    model = build_detection_model(c)
+    small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                       sizes=jnp.array([[64.0, 64.0]]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                           train=False)
+    return OneShotPredictor(c, variables, confidence_threshold=-1.0)
+
+
+def test_run_on_image_shapes(predictor):
+    rng = np.random.RandomState(0)
+    supp = rng.randint(0, 255, (40, 40, 3), np.uint8)
+    predictor.set_support(supp)
+    frame = rng.randint(0, 255, (100, 150, 3), np.uint8)
+    boxes, scores = predictor.run_on_image(frame)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert scores.shape == (boxes.shape[0],)
+    # boxes are in original-frame coordinates
+    if len(boxes):
+        assert boxes[:, [0, 2]].max() <= 150 + 1e-3
+        assert boxes[:, [1, 3]].max() <= 100 + 1e-3
+
+
+def test_run_on_opencv_image_annotates(predictor):
+    rng = np.random.RandomState(1)
+    predictor.set_support(rng.randint(0, 255, (40, 40, 3), np.uint8))
+    frame_bgr = rng.randint(0, 255, (100, 150, 3), np.uint8)
+    out = predictor.run_on_opencv_image(frame_bgr)
+    assert out.shape == frame_bgr.shape and out.dtype == np.uint8
+
+
+def test_support_cache_required(predictor):
+    fresh = OneShotPredictor(predictor.cfg, predictor.variables)
+    with pytest.raises(AssertionError):
+        fresh.run_on_image(np.zeros((64, 64, 3), np.uint8))
