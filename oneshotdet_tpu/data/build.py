@@ -124,7 +124,8 @@ class ProcessLoader:
             # batch max up to /32 — bound it by the resize-config extremes
             max_hw = max(max_hw, self.max_query_area)
         # batch size is only known per batch; size slabs for the observed max
-        batches = iter(self.batch_iter)
+        src = self.batch_iter() if callable(self.batch_iter) else self.batch_iter
+        batches = iter(src)
         try:
             first = next(batches)
         except StopIteration:
@@ -216,10 +217,12 @@ class PrefetchingLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        src = self.batch_iter() if callable(self.batch_iter) else self.batch_iter
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
-                    for batch_idx in self.batch_iter:
+                    for batch_idx in src:
                         items = list(pool.map(self.dataset.__getitem__, batch_idx))
                         q.put(self.collator(items))
                 finally:
@@ -263,21 +266,25 @@ def make_data_loader(
         shuffle=False,  # episodic list is pre-shuffled (build.py:119)
     )
     grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING or len(cfg.TPU.QUERY_BUCKETS) > 1
+    # a FACTORY, not a generator: loaders must be re-iterable (train_net
+    # consumes one batch for shape init before do_train iterates again —
+    # a single-use generator would leave the training loop an empty stream)
     if is_train:
         if grouping:
-            batch_iter = grouped_iteration_batches(
+            batch_iter = lambda: grouped_iteration_batches(  # noqa: E731
                 dataset, sampler, images_per_batch, num_iters, start_iter
             )
         else:
-            batch_iter = iteration_based_batches(
+            batch_iter = lambda: iteration_based_batches(  # noqa: E731
                 sampler, images_per_batch, num_iters, start_iter
             )
     else:
         if grouping:
-            batch_iter = grouped_batches(dataset, sampler, images_per_batch,
-                                         drop_last=False)
+            batch_iter = lambda: grouped_batches(  # noqa: E731
+                dataset, sampler, images_per_batch, drop_last=False)
         else:
-            batch_iter = iterate_batches(sampler, images_per_batch, drop_last=False)
+            batch_iter = lambda: iterate_batches(  # noqa: E731
+                sampler, images_per_batch, drop_last=False)
 
     n_workers = cfg.DATALOADER.NUM_WORKERS
     use_procs = (getattr(cfg.DATALOADER, "USE_PROCESS_WORKERS", True)

@@ -342,3 +342,27 @@ def test_process_loader_matches_thread_loader(synthetic_coco, small_cfg):
         np.testing.assert_array_equal(tb["idxs"], pb["idxs"])
         np.testing.assert_array_equal(tb["img_ids"], pb["img_ids"])
         assert tb["supp_pixels"].shape == pb["supp_pixels"].shape
+
+
+def test_loader_is_reiterable(synthetic_coco, small_cfg):
+    """Regression: train_net consumes one batch for shape-init, then
+    do_train iterates the loader again — both iterations must see the full
+    stream (a single-use generator silently trained 0 iterations)."""
+    from oneshotdet_tpu.data.build import make_data_loader
+
+    ann_file, img_dir = synthetic_coco
+    os.environ["ONESHOT_CUSTOM_IMG_DIR"] = img_dir
+    os.environ["ONESHOT_CUSTOM_ANN_FILE"] = ann_file
+    c = small_cfg.clone()
+    c.DATASETS.TRAIN = ("custom",)
+    c.SOLVER.IMS_PER_BATCH = 2
+    c.SOLVER.MAX_ITER = 3
+    c.DATALOADER.NUM_WORKERS = 2
+    for use_procs in (False, True):
+        cc = c.clone()
+        cc.DATALOADER.USE_PROCESS_WORKERS = use_procs
+        loader, _ = make_data_loader(cc, is_train=True)
+        first_pass = [b["idxs"].tolist() for b in loader]
+        second_pass = [b["idxs"].tolist() for b in loader]
+        assert len(first_pass) == len(second_pass) == 3, use_procs
+        assert first_pass == second_pass, use_procs
