@@ -130,11 +130,12 @@ def do_train(
         t_step += t2 - t1
         if meters is not None:
             meters.update(**{k: float(v) for k, v in metrics.items()})
-        if (it + 1) % log_period == 0:
+        if (it + 1) % log_period == 0 or it + 1 == max_iter:
+            span = (it % log_period) + 1
             msg = (
                 f"iter {it + 1}/{max_iter} "
                 f"loss {float(metrics['loss_total']):.4f} "
-                f"load {t_data / log_period:.3f}s comp {t_step / log_period:.3f}s"
+                f"load {t_data / span:.3f}s comp {t_step / span:.3f}s"
             )
             if logger:
                 logger.info(msg)
