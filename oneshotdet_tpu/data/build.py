@@ -135,6 +135,9 @@ class ProcessLoader:
         slab_bytes = bmax * max_hw * 3 * 4
         slabs = [ctx.RawArray("b", slab_bytes) for _ in range(rings)]
 
+        # module globals inherited by fork; workers for ONE loader iteration
+        # fork here, so interleaved __iter__ calls on different loaders each
+        # get a consistent snapshot (the dict is rebound before every fork)
         _WORKER_STATE["dataset"] = self.dataset
         _WORKER_STATE["collator"] = self.collator
         _WORKER_STATE["slabs"] = slabs
@@ -181,7 +184,15 @@ class ProcessLoader:
                 got = results.setdefault(ring, [None] * bmax)
                 have = sum(x is not None for x in got[:n])
                 while have < n:
-                    r_ring, slot, qshape, parts, err = result_q.get()
+                    try:
+                        r_ring, slot, qshape, parts, err = result_q.get(timeout=60)
+                    except queue.Empty:
+                        dead = [p.pid for p in procs if not p.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"loader worker(s) died (pids {dead}) — "
+                                "likely OOM-killed during decode") from None
+                        continue  # just slow (cold cache / huge image)
                     if err is not None:
                         raise RuntimeError(f"loader worker failed: {err}")
                     results.setdefault(r_ring, [None] * bmax)[slot] = (qshape, parts)
