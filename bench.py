@@ -71,7 +71,10 @@ def main():
         return
 
     model = build_detection_model(c)
-    rng = np.random.RandomState(0)
+    # session-unique seed: identical input CONTENT replays from the device
+    # runtime's cross-process memoization even in a fresh process — a
+    # re-benched unchanged program with fixed seeds measures cache hits
+    rng = np.random.RandomState(int(time.time()) % (2**31))
     # one distinct input batch PER ITERATION — including warmup: the device
     # runtime memoizes (program, input-buffer) pairs persistently, so a
     # buffer seen during warmup replays for free if timed later. Timing must
@@ -174,7 +177,7 @@ def run_latency_bench(c, args):
     qh, qw = args.query_hw
     sh, sw = args.supp_hw
     model = build_detection_model(c)
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(int(time.time()) % (2**31))  # see eval seed note
     n = args.iters + args.warmup + 1
     pix = [jnp.asarray(space_to_depth(rng.randn(1, qh, qw, 3).astype(np.float32)))
            for _ in range(n)]
@@ -234,34 +237,38 @@ def run_latency_bench(c, args):
 
 
 def run_train_bench(c, args):
-    """Steady-state training-step throughput on one chip (data mesh of 1)."""
+    """Steady-state training-step throughput on one chip.
+
+    Protocol: K train steps CHAINED inside one jitted lax.scan over stacked
+    never-seen batches, timed by forcing the final loss value. Per-call
+    protocols are unusable for train steps on this runtime: block_until_ready
+    returns early and repeated (program, buffer) executions replay — per-call
+    timing reported 6 ms/iter where the chained scan (and a 30-iter CLI run)
+    measure ~142 ms/iter at batch 8.
+    """
     import jax
     import jax.numpy as jnp
 
-    from oneshotdet_tpu.engine import create_train_state, jit_train_step, make_train_step
+    from oneshotdet_tpu.engine import create_train_state, make_train_step
     from oneshotdet_tpu.engine.trainer import batch_to_inputs
     from oneshotdet_tpu.models import build_detection_model
     from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
-    from oneshotdet_tpu.parallel import make_mesh, shard_batch
     from oneshotdet_tpu.solver import make_optimizer
     from oneshotdet_tpu.utils.synthetic import make_episodic_batch
 
     b = args.batch
     qh, qw = args.query_hw
     sh, sw = args.supp_hw
+    K = max(4, min(args.iters, 8))  # steps per chain (HBM-bounded)
     model = build_detection_model(c)
-    mesh = make_mesh(("data",), jax.devices()[:1])
+    seed_base = int(time.time()) % (2**31)
 
-    # one NEVER-SEEN batch per step, warmup included: the device runtime
-    # replays repeated (program, buffers) executions even though the train
-    # state differs (measured 13x inflation with 3 cycled variants)
-    n_variants = args.iters + args.warmup + 1
-    variants = []
-    for i in range(n_variants):
-        batch = make_episodic_batch(b, (qh, qw), (sh, sw),
-                                    max_gt=c.TPU.MAX_GT_BOXES, seed=i)
-        variants.append({k: jnp.asarray(v) for k, v in batch.items()
-                         if k not in ("img_ids", "idxs")})
+    def stacked(off):
+        bs = [make_episodic_batch(b, (qh, qw), (sh, sw),
+                                  max_gt=c.TPU.MAX_GT_BOXES,
+                                  seed=seed_base + off + i) for i in range(K)]
+        keys = [k for k in bs[0] if k not in ("img_ids", "idxs")]
+        return {k: jnp.asarray(np.stack([x[k] for x in bs])) for k in keys}
 
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
@@ -276,31 +283,29 @@ def run_train_bench(c, args):
 
     optimizer, _ = make_optimizer(c, variables["params"])
     state = create_train_state(model, optimizer, variables)
-    from oneshotdet_tpu.parallel.mesh import replicate
-
-    state = replicate(state, mesh)
-    train_step = jit_train_step(make_train_step(model, optimizer), mesh)
+    state = jax.device_put(state, jax.devices()[0])
+    train_step = make_train_step(model, optimizer)
     rng = jax.random.PRNGKey(0)
 
-    t0 = time.time()
-    batch0 = shard_batch(variants[0], mesh)
-    state, metrics = train_step(state, batch0, rng)
-    jax.block_until_ready(metrics)
-    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    @jax.jit
+    def chain(state, batches):
+        def body(st, batch):
+            st, m = train_step(st, batch, rng)
+            return st, m["loss_total"]
+        return jax.lax.scan(body, state, batches)
 
-    sharded = [shard_batch(v, mesh) for v in variants]
-    for i in range(args.warmup):
-        state, metrics = train_step(state, sharded[1 + i], rng)
-    jax.block_until_ready((metrics, state.params))
-    base = args.warmup + 1
+    t0 = time.time()
+    state, losses = chain(state, stacked(0))
+    print(f"compile+first chain: {time.time() - t0:.1f}s "
+          f"(losses {np.asarray(losses).round(3).tolist()})", file=sys.stderr)
+
+    s2 = stacked(10_000)
+    _ = float(s2["query_pixels"].sum())  # drain the upload before timing
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, metrics = train_step(state, sharded[base + i], rng)
-    # block on the updated params too — blocking on the scalar metrics alone
-    # lets the runtime skip materializing the rest
-    jax.block_until_ready((metrics, state.params))
+    state, losses = chain(state, s2)
+    _ = float(losses[-1])  # value-forced sync (block_until_ready lies here)
     dt = time.perf_counter() - t0
-    s_per_iter = dt / args.iters
+    s_per_iter = dt / K
     # reference Faster R-CNN R-50-FPN train baseline: 0.3530 s/iter on 8xV100
     # at global batch 16 -> 0.1765 s/iter per-GPU-pair... we report s/iter at
     # this batch and img/s/chip; vs_baseline compares img/s to the reference's
