@@ -73,8 +73,27 @@ _C.MODEL.FBNET.MASK_HEAD_STRIDE = 0
 _C.MODEL.FBNET.RPN_HEAD_BLOCKS = 0          # 0 = all blocks in the rpn stage
 _C.MODEL.FBNET.RPN_BN_TYPE = ""
 
+# -- RetinaNet one-stage head (reference defaults.py:330-390)
 _C.MODEL.RETINANET = CN()
+_C.MODEL.RETINANET.NUM_CLASSES = 2
+_C.MODEL.RETINANET.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RETINANET.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.RETINANET.STRADDLE_THRESH = 0
+_C.MODEL.RETINANET.OCTAVE = 2.0
+_C.MODEL.RETINANET.SCALES_PER_OCTAVE = 3
 _C.MODEL.RETINANET.USE_C5 = True            # one-shot config sets False → P6/P7 from P5
+_C.MODEL.RETINANET.NUM_CONVS = 4
+_C.MODEL.RETINANET.BBOX_REG_WEIGHT = 4.0
+_C.MODEL.RETINANET.BBOX_REG_BETA = 0.11
+_C.MODEL.RETINANET.PRE_NMS_TOP_N = 12000
+_C.MODEL.RETINANET.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.RETINANET.BG_IOU_THRESHOLD = 0.4
+_C.MODEL.RETINANET.LOSS_ALPHA = 0.25
+_C.MODEL.RETINANET.LOSS_GAMMA = 2.0
+_C.MODEL.RETINANET.PRIOR_PROB = 0.01
+_C.MODEL.RETINANET.INFERENCE_TH = 0.0
+_C.MODEL.RETINANET.NMS_TH = 0.4
 
 # -- RPN (dual-parameterized FCOS-as-RPN postprocessing, defaults.py:140-181)
 _C.MODEL.RPN = CN()
@@ -121,6 +140,37 @@ _C.MODEL.ROI_BOX_HEAD.USE_GN = False
 _C.MODEL.ROI_BOX_HEAD.DILATION = 1
 _C.MODEL.ROI_BOX_HEAD.CONV_HEAD_DIM = 256
 _C.MODEL.ROI_BOX_HEAD.NUM_STACKED_CONVS = 4
+
+# -- Mask head (reference defaults.py:235-251)
+_C.MODEL.ROI_MASK_HEAD = CN()
+_C.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR = "ResNet50Conv5ROIFeatureExtractor"
+_C.MODEL.ROI_MASK_HEAD.PREDICTOR = "MaskRCNNC4Predictor"
+_C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+# reference default 0 = adaptive ceil(roi/pooled) grid — dynamic shape; the
+# static kernels map 0 -> 2 samples (FPN yamls set 2 anyway)
+_C.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_MASK_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_MASK_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (256, 256, 256, 256)
+_C.MODEL.ROI_MASK_HEAD.RESOLUTION = 14
+_C.MODEL.ROI_MASK_HEAD.SHARE_BOX_FEATURE_EXTRACTOR = True
+_C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS = False
+_C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
+_C.MODEL.ROI_MASK_HEAD.DILATION = 1
+_C.MODEL.ROI_MASK_HEAD.USE_GN = False
+
+# -- Keypoint head (reference defaults.py:253-263)
+_C.MODEL.ROI_KEYPOINT_HEAD = CN()
+_C.MODEL.ROI_KEYPOINT_HEAD.FEATURE_EXTRACTOR = "KeypointRCNNFeatureExtractor"
+_C.MODEL.ROI_KEYPOINT_HEAD.PREDICTOR = "KeypointRCNNPredictor"
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_KEYPOINT_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = tuple(512 for _ in range(8))
+_C.MODEL.ROI_KEYPOINT_HEAD.RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 17
+_C.MODEL.ROI_KEYPOINT_HEAD.SHARE_BOX_FEATURE_EXTRACTOR = True
 
 # -- FCOS (stage-1 proposal head, defaults.py:297-315)
 _C.MODEL.FCOS = CN()
@@ -210,6 +260,11 @@ _C.FEW_SHOT.SECOND_STAGE_METHOD = "matching"   # matching | concat | rn
 _C.FEW_SHOT.OUT_TRANSFORM = False
 _C.FEW_SHOT.TEST_CHEATING = True
 _C.FEW_SHOT.CHOOSE_CLOSE = False
+# similarity pickle(s) for CHOOSE_CLOSE. The reference hardcodes an absolute
+# path template (coco.py:248-250) and keeps this key commented out
+# (defaults.py:490); here it is a real key. Accepts a single merged pkl or a
+# template with "{cat}". Env var ONESHOT_SUPP_SIM_PKL overrides if set.
+_C.FEW_SHOT.SUPP_SIM_FILE = "supp_sim/supp_similarity_merged.pkl"
 _C.FEW_SHOT.CHOOSE_SELECTED = False
 _C.FEW_SHOT.NUM_SHOT = 1
 _C.FEW_SHOT.NEG_SUPPORT = CN()

@@ -97,11 +97,28 @@ class COCODataset:
             v: k for k, v in self.json_category_id_to_contiguous_id.items()
         }
 
+        # TASK=1: restrict eval images to the task1 split file
+        # (coco.py:146-159 — the reference reads the hardcoded filename and
+        # filters each category's image list when FEW_SHOT.TASK == 1)
+        task1_imgs = None
+        if cfg.FEW_SHOT.TASK == 1 and not is_train:
+            split_file = os.environ.get(
+                "ONESHOT_TASK1_SPLIT", "task1_test_split.txt"
+            )
+            with open(split_file) as f:
+                task1_imgs = {line.split(" ")[0].strip() for line in f if line.strip()}
+
         # per-category catalog (coco.py:151-171)
         self.catalog = {}
         for cat in self.json_cat_list:
             self.catalog[cat] = []
-            for img_id in sorted(self.coco.getImgIds(catIds=cat)):
+            img_ids = sorted(self.coco.getImgIds(catIds=cat))
+            if task1_imgs is not None:
+                img_ids = [
+                    i for i in img_ids
+                    if self.coco.loadImgs(i)[0]["file_name"] in task1_imgs
+                ]
+            for img_id in img_ids:
                 ann_ids = self.coco.getAnnIds(imgIds=img_id, catIds=cat, iscrowd=False)
                 anno = self.coco.loadAnns(ann_ids)
                 if not remove_images_without_annotations or _has_valid_annotation(anno):
@@ -126,10 +143,15 @@ class COCODataset:
         # candidate crops per class; cfg points at it via paths the caller set
         self.selected_supp_dir = getattr(cfg, "SELECTED_SUPP_DIR", "") if hasattr(cfg, "SELECTED_SUPP_DIR") else ""
 
-        # similarity pickles for CHOOSE_CLOSE (coco.py:388-400)
+        # similarity pickles for CHOOSE_CLOSE (coco.py:388-400). The path
+        # comes from FEW_SHOT.SUPP_SIM_FILE (the reference hardcodes an
+        # absolute template, coco.py:248-250); ONESHOT_SUPP_SIM_PKL overrides.
         self.close_dict = None
+        self.mask_supp = cfg.FEW_SHOT.MASK_SUPP
         if self.choose_close and is_train:
-            pkl = os.environ.get("ONESHOT_SUPP_SIM_PKL", "supp_sim/supp_similarity_merged.pkl")
+            pkl = os.environ.get(
+                "ONESHOT_SUPP_SIM_PKL", cfg.FEW_SHOT.SUPP_SIM_FILE
+            )
             if os.path.exists(pkl):
                 with open(pkl, "rb") as f:
                     self.close_dict = pickle.load(f)
@@ -189,9 +211,25 @@ class COCODataset:
         imgs = []
         for img_id, ann in picked:
             im = self._load_image(img_id)
+            im = self._mask_support(im, ann)
             x, y, w, h = ann["bbox"]
             imgs.append(im.crop((x, y, x + w, y + h)))
         return self._augment_supports(imgs)
+
+    def _mask_support(self, im: Image.Image, ann: dict) -> Image.Image:
+        """FEW_SHOT.MASK_SUPP: zero the support's background using the
+        annotation's segmentation polygons before cropping (coco.py:338-348
+        — annToMask, binary threshold, pixelwise multiply)."""
+        if not self.mask_supp:
+            return im
+        seg = ann.get("segmentation")
+        if not isinstance(seg, list) or not seg:
+            return im  # RLE/missing segmentation: leave unmasked
+        from ...structures.segmentation_mask import PolygonInstance
+
+        mask = PolygonInstance(seg, im.size).rasterize()  # (h, w) uint8
+        arr = np.asarray(im, np.uint8) * (mask[:, :, None] > 0)
+        return Image.fromarray(arr)
 
     def get_selected_item_from_cat(self, cat_id: int, shot: int = 1):
         """Fixed hand-picked support (coco.py:365-386): file
@@ -219,6 +257,7 @@ class COCODataset:
             if ann is None:
                 continue
             im = self._load_image(ann["image_id"])
+            im = self._mask_support(im, ann)
             x, y, w, h = ann["bbox"]
             imgs.append(im.crop((x, y, x + w, y + h)))
         if not imgs:

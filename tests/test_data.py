@@ -32,9 +32,11 @@ def synthetic_coco(tmp_path_factory):
         images.append({"id": i + 1, "file_name": name, "width": w, "height": h})
         # one big annotation of cat (i % 2) + 1 and one small one
         cat = (i % 2) + 1
+        # polygon covering only the LEFT HALF of the bbox (for MASK_SUPP)
         annotations.append({
             "id": ann_id, "image_id": i + 1, "category_id": cat,
             "bbox": [10, 10, 90, 80], "area": 7200.0, "iscrowd": 0,
+            "segmentation": [[10.0, 10.0, 55.0, 10.0, 55.0, 90.0, 10.0, 90.0]],
         })
         ann_id += 1
         annotations.append({
@@ -116,6 +118,63 @@ def test_selected_cls_filter(synthetic_coco, small_cfg):
     ds = COCODataset(c, ann_file, img_dir, is_train=False, transforms=None)
     assert all(cat == 2 for cat in ds.chosen_cats)
     assert len(ds) == 3
+
+
+def test_mask_supp_zeroes_background(synthetic_coco, small_cfg):
+    """FEW_SHOT.MASK_SUPP multiplies the support image by its segmentation
+    mask before cropping (ref coco.py:338-348). The fixture's polygon covers
+    only the left half of the bbox, so the crop's right half must be zero."""
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.FEW_SHOT.MASK_SUPP = True
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=None)
+    supp = ds.get_random_item_from_cat(1, exclude_img_id=-1, shot=1)[0]
+    arr = np.asarray(supp)
+    w = arr.shape[1]
+    assert (arr[:, int(w * 0.6):] == 0).all()          # outside the polygon
+    assert arr[:, : int(w * 0.4)].sum() > 0             # inside kept
+
+    c2 = small_cfg.clone()
+    ds2 = COCODataset(c2, ann_file, img_dir, is_train=True, transforms=None)
+    supp2 = ds2.get_random_item_from_cat(1, exclude_img_id=-1, shot=1)[0]
+    assert np.asarray(supp2)[:, int(w * 0.6):].sum() > 0  # unmasked baseline
+
+
+def test_task1_split_filter(synthetic_coco, small_cfg, tmp_path, monkeypatch):
+    """FEW_SHOT.TASK=1 restricts eval images to the split file
+    (ref coco.py:146-159)."""
+    ann_file, img_dir = synthetic_coco
+    split = tmp_path / "task1_test_split.txt"
+    split.write_text("000000.jpg extra\n000001.jpg\n")
+    monkeypatch.setenv("ONESHOT_TASK1_SPLIT", str(split))
+    c = small_cfg.clone()
+    c.FEW_SHOT.TASK = 1
+    ds = COCODataset(c, ann_file, img_dir, is_train=False, transforms=None)
+    kept = {ds.coco.loadImgs(i)[0]["file_name"] for i in ds.ids}
+    assert kept <= {"000000.jpg", "000001.jpg"} and len(ds) == 2
+    # TASK=2 (default) keeps everything; train mode ignores the filter
+    ds2 = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+    assert len(ds2) == 6
+
+
+def test_supp_sim_file_cfg_key(synthetic_coco, small_cfg, tmp_path, monkeypatch):
+    """FEW_SHOT.SUPP_SIM_FILE points CHOOSE_CLOSE at the similarity pickle
+    (replaces the reference's hardcoded path, coco.py:248-250)."""
+    import pickle
+
+    ann_file, img_dir = synthetic_coco
+    monkeypatch.delenv("ONESHOT_SUPP_SIM_PKL", raising=False)
+    # rank annotation 3 (image 2, cat 1) above everything for every query
+    sim = {1: {img: {1: {3: 0.9, 1: 0.1}} for img in range(1, 7)}}
+    pkl = tmp_path / "supp_sim.pkl"
+    pkl.write_bytes(pickle.dumps(sim))
+    c = small_cfg.clone()
+    c.FEW_SHOT.CHOOSE_CLOSE = True
+    c.FEW_SHOT.SUPP_SIM_FILE = str(pkl)
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=None)
+    assert ds.close_dict is not None
+    supp = ds.get_close_item_from_cat(1, 1, shot=1)
+    assert len(supp) == 1 and supp[0].size[0] > 1
 
 
 def test_collator_buckets(synthetic_coco, small_cfg):
