@@ -329,6 +329,7 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.QUERY_BUCKETS = ((832, 1216), (1216, 832))
 _C.TPU.SUPP_BUCKET = (416, 416)
 _C.TPU.MAX_GT_BOXES = 64               # per-image padded GT capacity
+_C.TPU.MASK_RASTER = 56                # per-GT pre-rasterized mask grid (MASK_ON)
 _C.TPU.PROPOSALS_PER_IMAGE_TRAIN = 512  # padded stage-1 → stage-2 capacity (train)
 _C.TPU.PROPOSALS_PER_IMAGE_TEST = 2000  # = RPN.FPN_POST_NMS_TOP_N_TEST
 _C.TPU.NMS_PRE_TOPK = 4096             # per-image cross-level candidate cap fed to NMS

@@ -104,7 +104,7 @@ class BatchCollator:
             gt_valid[:n] = True
             gt_labels[:n] = it["labels"][:n]
 
-        return {
+        out = {
             "query_pixels": self._maybe_s2d(query)[0],
             "query_sizes": np.array([h, w], np.float32),
             "supp_pixels": self._maybe_s2d(supp),
@@ -116,6 +116,13 @@ class BatchCollator:
             "img_id": np.int64(it["img_id"]),
             "idx": np.int64(it["idx"]),
         }
+        if "masks" in it:  # MASK_ON: padded per-GT box-normalized rasters
+            s = it["masks"].shape[-1] if len(it["masks"]) else 0
+            gm = np.zeros((self.max_gt, s, s), np.float32)
+            if n:
+                gm[:n] = it["masks"][:n]
+            out["gt_masks"] = gm
+        return out
 
     @staticmethod
     def assemble(parts: List[Dict[str, np.ndarray]],
@@ -123,7 +130,7 @@ class BatchCollator:
         """Stack per-item arrays into the batch dict (cheap, main process).
         ``query_pixels`` overrides the stack with an already-batched slab
         (shared-memory loader: zero-copy)."""
-        return {
+        out = {
             "query_pixels": (query_pixels if query_pixels is not None
                              else np.stack([p["query_pixels"] for p in parts])),
             "query_sizes": np.stack([p["query_sizes"] for p in parts]),
@@ -136,6 +143,9 @@ class BatchCollator:
             "img_ids": np.array([p["img_id"] for p in parts], np.int64),
             "idxs": np.array([p["idx"] for p in parts], np.int64),
         }
+        if "gt_masks" in parts[0]:  # MASK_ON
+            out["gt_masks"] = np.stack([p["gt_masks"] for p in parts])
+        return out
 
     def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
         q_shapes = [self._shape_of(it["img"]) for it in items]

@@ -295,6 +295,23 @@ class COCODataset:
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, h - 1)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, labels = boxes[keep], labels[keep]
+        anno = [o for k, o in zip(keep, anno) if k]
+
+        # MASK_ON: carry per-GT polygons through the transforms, then
+        # pre-rasterize each to a fixed box-normalized (S, S) grid — the
+        # static replacement for the reference's SegmentationMask field
+        # (coco.py target.add_field('masks', ...))
+        masks = None
+        if self.cfg.MODEL.MASK_ON:
+            from ...structures.segmentation_mask import PolygonInstance
+
+            masks = [
+                PolygonInstance(
+                    o.get("segmentation") if isinstance(o.get("segmentation"), list)
+                    else [], img.size,
+                )
+                for o in anno
+            ]
 
         if self.choose_close:
             img_supp = self.get_close_item_from_cat(img_id, cur_cat, shot=self.shot)
@@ -304,10 +321,13 @@ class COCODataset:
             img_supp = self.get_random_item_from_cat(cur_cat, img_id, shot=self.shot)
 
         if self._transforms is not None:
-            img, boxes = self._transforms(img, boxes)
+            if masks is not None:
+                img, boxes, masks = self._transforms(img, boxes, masks)
+            else:
+                img, boxes = self._transforms(img, boxes)
             img_supp = [self._supp_transforms(s, None)[0] for s in img_supp]
 
-        return {
+        item = {
             "img": img,
             "img_supp": img_supp,
             "boxes": boxes,
@@ -316,6 +336,16 @@ class COCODataset:
             "target_id": cur_cat,
             "img_id": img_id,
         }
+        if masks is not None:
+            s = self.cfg.TPU.MASK_RASTER
+            rasters = np.zeros((len(masks), s, s), np.float32)
+            for i, (m, b) in enumerate(zip(masks, boxes)):
+                if len(m):
+                    rasters[i] = np.asarray(
+                        m.crop(b).resize((s, s)).rasterize(), np.float32
+                    )
+            item["masks"] = rasters
+        return item
 
     def get_img_info(self, index):
         img_id = self.id_to_img_map[index]

@@ -50,7 +50,7 @@ class Resize:
         self.min_size = tuple(min_size)
         self.max_size = max_size
 
-    def __call__(self, image: Image.Image, boxes: Optional[np.ndarray]):
+    def __call__(self, image: Image.Image, boxes: Optional[np.ndarray], masks=None):
         size = random.choice(self.min_size)
         oh, ow = get_resize_size(image.size, size, self.max_size)
         w0, h0 = image.size
@@ -59,6 +59,9 @@ class Resize:
             boxes = boxes.astype(np.float32).copy()
             boxes[:, 0::2] *= ow / w0
             boxes[:, 1::2] *= oh / h0
+        if masks is not None:
+            masks = [m.resize((ow, oh)) for m in masks]
+            return image, boxes, masks
         return image, boxes
 
 
@@ -66,7 +69,7 @@ class RandomHorizontalFlip:
     def __init__(self, prob=0.5):
         self.prob = prob
 
-    def __call__(self, image, boxes):
+    def __call__(self, image, boxes, masks=None):
         if random.random() < self.prob:
             w = image.size[0]
             image = image.transpose(Image.FLIP_LEFT_RIGHT)
@@ -75,6 +78,12 @@ class RandomHorizontalFlip:
                 x1 = w - boxes[:, 2] - 1.0  # TO_REMOVE flip (bounding_box.py:145)
                 x2 = w - boxes[:, 0] - 1.0
                 boxes[:, 0], boxes[:, 2] = x1, x2
+            if masks is not None:
+                from ..structures.segmentation_mask import FLIP_LEFT_RIGHT
+
+                masks = [m.transpose(FLIP_LEFT_RIGHT) for m in masks]
+        if masks is not None:
+            return image, boxes, masks
         return image, boxes
 
 
@@ -84,11 +93,13 @@ class Normalize:
         self.std = np.asarray(std, np.float32)
         self.to_bgr255 = to_bgr255
 
-    def __call__(self, image, boxes):
+    def __call__(self, image, boxes, masks=None):
         arr = np.asarray(image, np.float32) / 255.0  # to_tensor scaling
         if self.to_bgr255:
             arr = arr[:, :, ::-1] * 255.0
         arr = (arr - self.mean) / self.std
+        if masks is not None:
+            return np.ascontiguousarray(arr), boxes, masks
         return np.ascontiguousarray(arr), boxes
 
 
@@ -96,7 +107,11 @@ class Compose:
     def __init__(self, transforms):
         self.transforms = transforms
 
-    def __call__(self, image, boxes):
+    def __call__(self, image, boxes, masks=None):
+        if masks is not None:
+            for t in self.transforms:
+                image, boxes, masks = t(image, boxes, masks)
+            return image, boxes, masks
         for t in self.transforms:
             image, boxes = t(image, boxes)
         return image, boxes
@@ -179,7 +194,7 @@ class FusedHostPreprocess:
         self.std = np.asarray(std, np.float32)
         self.to_bgr255 = to_bgr255
 
-    def __call__(self, image: Image.Image, boxes):
+    def __call__(self, image: Image.Image, boxes, masks=None):
         size = random.choice(self.min_size)
         oh, ow = get_resize_size(image.size, size, self.max_size)
         w0, h0 = image.size
@@ -188,6 +203,8 @@ class FusedHostPreprocess:
             boxes = boxes.astype(np.float32).copy()
             boxes[:, 0::2] *= ow / w0
             boxes[:, 1::2] *= oh / h0
+        if masks is not None:
+            masks = [m.resize((ow, oh)) for m in masks]
         if self.flip_prob > 0 and random.random() < self.flip_prob:
             arr = arr[:, ::-1]
             if boxes is not None and len(boxes):
@@ -195,16 +212,20 @@ class FusedHostPreprocess:
                 x2 = ow - boxes[:, 0] - 1.0
                 boxes = boxes.copy()
                 boxes[:, 0], boxes[:, 2] = x1, x2
-        return (
-            {
-                "u8": np.ascontiguousarray(arr),
-                "out_hw": (oh, ow),
-                "mean": self.mean,
-                "std": self.std,
-                "to_bgr255": self.to_bgr255,
-            },
-            boxes,
-        )
+            if masks is not None:
+                from ..structures.segmentation_mask import FLIP_LEFT_RIGHT
+
+                masks = [m.transpose(FLIP_LEFT_RIGHT) for m in masks]
+        out = {
+            "u8": np.ascontiguousarray(arr),
+            "out_hw": (oh, ow),
+            "mean": self.mean,
+            "std": self.std,
+            "to_bgr255": self.to_bgr255,
+        }
+        if masks is not None:
+            return out, boxes, masks
+        return out, boxes
 
 
 def build_fused_transforms(cfg, is_train=True):

@@ -44,11 +44,17 @@ def batch_to_inputs(batch: Dict[str, jnp.ndarray]):
     images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
     supp = ImageBatch(pixels=batch["supp_pixels"], sizes=batch["supp_sizes"])
     sizes_wh = batch["query_sizes"][:, ::-1]
+    fields = {"labels": batch["gt_labels"]}
+    # optional mask rasters / keypoints (MASK_ON / KEYPOINT_ON pipelines)
+    if "gt_masks" in batch:
+        fields["masks"] = batch["gt_masks"]
+    if "gt_keypoints" in batch:
+        fields["keypoints"] = batch["gt_keypoints"]
     targets = Boxes(
         xyxy=batch["gt_xyxy"],
         valid=batch["gt_valid"],
         size=sizes_wh,
-        fields={"labels": batch["gt_labels"]},
+        fields=fields,
     )
     return images, supp, targets
 

@@ -57,6 +57,35 @@ class DetectorConfig:
     out_channels: int = 256
     use_c5_for_p6: bool = False
     siamese_backbone: bool = True
+    # stage-1 dispatch (build_rpn, ref rpn.py:201-210): FCOS_ON -> fcos,
+    # else RETINANET_ON -> retinanet, else the classic anchor RPN
+    stage1: str = "fcos"
+    # anchor RPN (MODEL.RPN.*)
+    rpn_anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    rpn_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn_anchor_stride: Tuple[int, ...] = (16,)
+    rpn_straddle_thresh: float = 0.0
+    rpn_fg_iou: float = 0.7
+    rpn_bg_iou: float = 0.3
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_post_nms_top_n_train: int = 4000
+    rpn_post_nms_top_n_test: int = 2000
+    rpn_min_size: float = 0.0
+    # RetinaNet (MODEL.RETINANET.*)
+    retina_num_classes: int = 1            # foreground classes = NUM_CLASSES - 1
+    retina_anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    retina_anchor_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    retina_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    retina_octave: float = 2.0
+    retina_scales_per_octave: int = 3
+    retina_fg_iou: float = 0.5
+    retina_bg_iou: float = 0.4
+    retina_inference_th: float = 0.0
+    retina_pre_nms_top_n: int = 12000
+    retina_nms_th: float = 0.4
+    retina_num_convs: int = 4
+    retina_prior_prob: float = 0.01
     # fcos
     fpn_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     num_convs: int = 4
@@ -100,6 +129,22 @@ class DetectorConfig:
     roi_score_thresh: float = 0.0
     roi_nms_thresh: float = 0.5
     roi_detections_per_img: int = 2000
+    # mask / keypoint heads (MODEL.MASK_ON / KEYPOINT_ON,
+    # ref roi_heads/roi_heads.py:29-55)
+    mask_on: bool = False
+    keypoint_on: bool = False
+    mask_pooler_resolution: int = 14
+    mask_pooler_scales: Tuple[float, ...] = (0.0625,)
+    mask_pooler_sampling_ratio: int = 2
+    mask_conv_layers: Tuple[int, ...] = (256, 256, 256, 256)
+    postprocess_masks: bool = False
+    postprocess_masks_threshold: float = 0.5
+    kp_pooler_resolution: int = 14
+    kp_pooler_scales: Tuple[float, ...] = (0.0625,)
+    kp_pooler_sampling_ratio: int = 2
+    kp_conv_layers: Tuple[int, ...] = tuple(512 for _ in range(8))
+    num_keypoints: int = 17
+    mask_raster: int = 56
     # few-shot
     num_shot: int = 1
     supp_roialign: bool = True
@@ -113,11 +158,42 @@ class DetectorConfig:
 
 def detector_config_from_cfg(cfg) -> DetectorConfig:
     """Map the yacs-style cfg tree onto the static DetectorConfig."""
+    if cfg.MODEL.FCOS_ON:
+        stage1 = "fcos"
+    elif cfg.MODEL.RETINANET_ON:
+        stage1 = "retinanet"
+    else:
+        stage1 = "rpn"
     return DetectorConfig(
         depth=50 if "50" in cfg.MODEL.BACKBONE.CONV_BODY else 101,
         out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
         use_c5_for_p6=cfg.MODEL.RETINANET.USE_C5,
         siamese_backbone=cfg.FEW_SHOT.SIAMESE_BACKBONE,
+        stage1=stage1,
+        rpn_anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+        rpn_aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        rpn_anchor_stride=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+        rpn_straddle_thresh=float(cfg.MODEL.RPN.STRADDLE_THRESH),
+        rpn_fg_iou=cfg.MODEL.RPN.FG_IOU_THRESHOLD,
+        rpn_bg_iou=cfg.MODEL.RPN.BG_IOU_THRESHOLD,
+        rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        rpn_post_nms_top_n_train=cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN,
+        rpn_post_nms_top_n_test=cfg.MODEL.RPN.POST_NMS_TOP_N_TEST,
+        rpn_min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+        retina_num_classes=cfg.MODEL.RETINANET.NUM_CLASSES - 1,
+        retina_anchor_sizes=tuple(cfg.MODEL.RETINANET.ANCHOR_SIZES),
+        retina_anchor_strides=tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES),
+        retina_aspect_ratios=tuple(cfg.MODEL.RETINANET.ASPECT_RATIOS),
+        retina_octave=cfg.MODEL.RETINANET.OCTAVE,
+        retina_scales_per_octave=cfg.MODEL.RETINANET.SCALES_PER_OCTAVE,
+        retina_fg_iou=cfg.MODEL.RETINANET.FG_IOU_THRESHOLD,
+        retina_bg_iou=cfg.MODEL.RETINANET.BG_IOU_THRESHOLD,
+        retina_inference_th=cfg.MODEL.RETINANET.INFERENCE_TH,
+        retina_pre_nms_top_n=cfg.MODEL.RETINANET.PRE_NMS_TOP_N,
+        retina_nms_th=cfg.MODEL.RETINANET.NMS_TH,
+        retina_num_convs=cfg.MODEL.RETINANET.NUM_CONVS,
+        retina_prior_prob=cfg.MODEL.RETINANET.PRIOR_PROB,
         fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
         num_convs=cfg.MODEL.FCOS.NUM_CONVS,
         prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
@@ -157,6 +233,22 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         roi_score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
         roi_nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
         roi_detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+        mask_on=cfg.MODEL.MASK_ON,
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        mask_pooler_scales=tuple(cfg.MODEL.ROI_MASK_HEAD.POOLER_SCALES),
+        # reference's 0 = adaptive ceil(roi/pooled) sampling is dynamic; the
+        # static kernels use the FPN yamls' fixed 2-sample grid instead
+        mask_pooler_sampling_ratio=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
+        mask_conv_layers=tuple(cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS),
+        postprocess_masks=cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS,
+        postprocess_masks_threshold=cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD,
+        kp_pooler_resolution=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
+        kp_pooler_scales=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SCALES),
+        kp_pooler_sampling_ratio=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO or 2,
+        kp_conv_layers=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS),
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES,
+        mask_raster=cfg.TPU.MASK_RASTER,
         num_shot=cfg.FEW_SHOT.NUM_SHOT,
         supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
         max_gt=cfg.TPU.MAX_GT_BOXES,
@@ -197,10 +289,50 @@ class GeneralizedRCNN(nn.Module):
                 depth=c.depth, out_channels=c.out_channels,
                 use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="supp_backbone",
             )
-        self.fcos_head = FCOSHead(
-            num_convs=c.num_convs, num_classes=1, prior_prob=c.prior_prob,
-            num_levels=len(c.fpn_strides), dtype=self.dtype, name="fcos_head",
-        )
+        # stage-1 dispatch (build_rpn, ref rpn.py:201-210)
+        if c.stage1 == "fcos":
+            self.fcos_head = FCOSHead(
+                num_convs=c.num_convs, num_classes=1, prior_prob=c.prior_prob,
+                num_levels=len(c.fpn_strides), dtype=self.dtype, name="fcos_head",
+            )
+        elif c.stage1 == "retinanet":
+            from .retinanet import RetinaNetModule
+
+            self.retinanet_module = RetinaNetModule(
+                num_classes=c.retina_num_classes,
+                anchor_sizes=c.retina_anchor_sizes,
+                anchor_strides=c.retina_anchor_strides,
+                aspect_ratios=c.retina_aspect_ratios,
+                octave=c.retina_octave,
+                scales_per_octave=c.retina_scales_per_octave,
+                fg_iou=c.retina_fg_iou, bg_iou=c.retina_bg_iou,
+                inference_th=c.retina_inference_th,
+                pre_nms_top_n=min(c.retina_pre_nms_top_n, c.nms_pre_topk),
+                nms_thresh=c.retina_nms_th,
+                detections_per_img=c.fpn_post_nms_top_n_test,
+                dtype=self.dtype, name="retinanet_module",
+            )
+        else:
+            from .rpn import RPNModule
+
+            # ANCHOR_STRIDE has one entry per pyramid level; the C4 default
+            # (16,) only matches single-level features (ref anchor_generator
+            # asserts the same)
+            self.rpn_module = RPNModule(
+                anchor_sizes=c.rpn_anchor_sizes,
+                aspect_ratios=c.rpn_aspect_ratios,
+                anchor_strides=c.rpn_anchor_stride,
+                straddle_thresh=c.rpn_straddle_thresh,
+                fg_iou=c.rpn_fg_iou, bg_iou=c.rpn_bg_iou,
+                batch_per_image=c.rpn_batch_per_image,
+                positive_fraction=c.rpn_positive_fraction,
+                pre_nms_top_n=c.pre_nms_top_n_test,
+                post_nms_top_n=c.rpn_post_nms_top_n_test,
+                fpn_post_nms_top_n=c.fpn_post_nms_top_n_test,
+                nms_thresh=c.rpn_nms_thresh,
+                min_size=c.rpn_min_size,
+                dtype=self.dtype, name="rpn_module",
+            )
         if not c.rpn_only:
             ncls, nreg = predictor_num_classes(
                 c.second_stage_method, c.second_stage_cls_loss, c.neg_support
@@ -211,6 +343,22 @@ class GeneralizedRCNN(nn.Module):
                 num_bbox_reg=nreg, linear_fusion=c.linear_fusion,
                 dtype=self.dtype, name="roi_head",
             )
+            # optional mask / keypoint heads (MODEL.MASK_ON / KEYPOINT_ON,
+            # CombinedROIHeads in the reference, roi_heads.py:29-55)
+            if c.mask_on:
+                from .mask_head import MaskHead, MaskRCNNFPNFeatureExtractor  # noqa: F401
+
+                self.mask_head = MaskHead(
+                    num_classes=ncls, conv_layers=c.mask_conv_layers,
+                    dtype=self.dtype, name="mask_head",
+                )
+            if c.keypoint_on:
+                from .keypoint_head import KeypointHead
+
+                self.keypoint_head = KeypointHead(
+                    num_keypoints=c.num_keypoints, conv_layers=c.kp_conv_layers,
+                    dtype=self.dtype, name="keypoint_head",
+                )
 
     # -- helpers ----------------------------------------------------------
 
@@ -272,6 +420,30 @@ class GeneralizedRCNN(nn.Module):
             c.pooler_scales, c.pooler_sampling_ratio,
         )
 
+    def _pool_rois_at(self, features, boxes: Boxes, resolution: int,
+                      scales: Tuple[float, ...], sampling_ratio: int):
+        """Pool batched padded Boxes at an arbitrary (resolution, scales) —
+        the mask/keypoint pooler surface (ref poolers.py via
+        make_pooler(cfg, 'ROI_MASK_HEAD'/'ROI_KEYPOINT_HEAD'))."""
+        import math
+
+        b, p = boxes.valid.shape
+        flat_xyxy = boxes.xyxy.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)[:, None]
+        rois = jnp.concatenate([batch_idx, flat_xyxy], axis=1)
+        # select the pyramid sublist matching the requested scales
+        lvl_of = [int(round(-math.log2(s))) - 3 for s in scales]
+        feats = [features[i] for i in lvl_of]
+        if len(scales) > 1:
+            k_min = lvl_of[0] + 3
+            levels = fpn_level_map(flat_xyxy, k_min, k_min + len(scales) - 1)
+        else:
+            levels = jnp.zeros((b * p,), jnp.int32)
+        return multilevel_roi_align(
+            feats, rois, levels, (resolution, resolution), tuple(scales),
+            sampling_ratio,
+        )
+
     def _supp_roi_7x7(self, features_supp, supp_sizes_hw, batch_size):
         """Whole-support 7x7 features for stage 2 (supproi_pooling.py:42-73).
 
@@ -292,6 +464,42 @@ class GeneralizedRCNN(nn.Module):
         shot = pooled.shape[0] // batch_size
         r = c.pooler_resolution
         return pooled.reshape(batch_size, shot, r, r, -1).mean(axis=1)
+
+    def _mask_kp_eval(self, features, dets: Boxes) -> Boxes:
+        """Eval-time mask/keypoint predictions over the final detections
+        (ref roi_heads.py test flow + mask_head/inference.py: sigmoid + the
+        detection's class channel; Masker paste-back runs on host at the API
+        boundary when POSTPROCESS_MASKS)."""
+        c = self.config
+        if not (c.mask_on or c.keypoint_on):
+            return dets
+        b, k = dets.valid.shape
+        if c.mask_on:
+            feats = self._pool_rois_at(
+                features, dets, c.mask_pooler_resolution,
+                c.mask_pooler_scales, c.mask_pooler_sampling_ratio,
+            )
+            logits = self.mask_head(feats.astype(self.dtype))  # (BK, h, w, ncls)
+            ch = min(1, logits.shape[-1] - 1)  # one-shot: the fg class slot
+            probs = jax.nn.sigmoid(logits[..., ch].astype(jnp.float32))
+            dets = dets.with_field(
+                "mask_probs", probs.reshape((b, k) + probs.shape[1:])
+            )
+        if c.keypoint_on:
+            from .keypoint_head import heatmaps_to_keypoints
+
+            feats = self._pool_rois_at(
+                features, dets, c.kp_pooler_resolution,
+                c.kp_pooler_scales, c.kp_pooler_sampling_ratio,
+            )
+            logits = self.keypoint_head(feats.astype(self.dtype))
+            xy, scores = heatmaps_to_keypoints(
+                logits.astype(jnp.float32), dets.xyxy.reshape(-1, 4)
+            )
+            dets = dets.with_field(
+                "keypoints_xy", xy.reshape(b, k, -1, 2)
+            ).with_field("keypoints_scores", scores.reshape(b, k, -1))
+        return dets
 
     # -- streaming-predictor support caching --------------------------------
 
@@ -329,15 +537,20 @@ class GeneralizedRCNN(nn.Module):
         b = images.batch_size
         features = self.backbone(images.pixels.astype(self.dtype))
         combined = [f * p.astype(f.dtype) for f, p in zip(features, supp_pooled)]
-        logits, bbox_reg, ctrness = self.fcos_head(combined)
-        shapes = [(f.shape[1], f.shape[2]) for f in combined]
-        locations = compute_locations(shapes, c.fpn_strides)
-        proposals = fcos_postprocess(
-            locations, logits, bbox_reg, ctrness, images.sizes_wh(),
-            c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
-            c.nms_pre_topk, 0.0, c.score_mode,
-            level_topk=c.strict_level_topk,
-        )
+        if c.stage1 == "fcos":
+            logits, bbox_reg, ctrness = self.fcos_head(combined)
+            shapes = [(f.shape[1], f.shape[2]) for f in combined]
+            locations = compute_locations(shapes, c.fpn_strides)
+            proposals = fcos_postprocess(
+                locations, logits, bbox_reg, ctrness, images.sizes_wh(),
+                c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
+                c.nms_pre_topk, 0.0, c.score_mode,
+                level_topk=c.strict_level_topk,
+            )
+        elif c.stage1 == "retinanet":
+            proposals, _ = self.retinanet_module(combined, images.sizes_wh())
+        else:
+            proposals, _ = self.rpn_module(combined, images.sizes_wh())
         if c.rpn_only:
             return proposals
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
@@ -347,12 +560,13 @@ class GeneralizedRCNN(nn.Module):
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
-        return roi_head_postprocess(
+        dets = roi_head_postprocess(
             cls_logits, box_deltas, proposals, target_ids,
             BoxCoder(c.bbox_reg_weights), c.roi_score_thresh,
             c.roi_nms_thresh, c.roi_detections_per_img,
             c.second_stage_cls_loss,
         )
+        return self._mask_kp_eval(features, dets)
 
     # -- forward ----------------------------------------------------------
 
@@ -375,49 +589,71 @@ class GeneralizedRCNN(nn.Module):
 
         combined = self._fuse(features, features_supp, images_supp.sizes, b)
 
-        logits, bbox_reg, ctrness = self.fcos_head(combined)
-        shapes = [(f.shape[1], f.shape[2]) for f in combined]
-        locations = compute_locations(shapes, c.fpn_strides)
-
         losses = {}
-        if train:
-            assert targets is not None and rng is not None
-            labels, reg_targets = fcos_targets(
-                locations, c.fpn_strides, targets.xyxy,
-                targets.get_field("labels"), targets.valid,
-                c.center_sample, c.pos_radius,
-            )
-            loss_cls, loss_reg, loss_ctr = fcos_losses(
-                logits, bbox_reg, ctrness, labels, reg_targets,
-                c.loss_gamma, c.loss_alpha, c.loc_loss_type, c.focal_mode,
-            )
-            losses.update(
-                loss_cls=loss_cls, loss_reg=loss_reg, loss_centerness=loss_ctr
-            )
+        if c.stage1 == "fcos":
+            logits, bbox_reg, ctrness = self.fcos_head(combined)
+            shapes = [(f.shape[1], f.shape[2]) for f in combined]
+            locations = compute_locations(shapes, c.fpn_strides)
 
-        if c.rpn_only:
             if train:
-                return losses
-            return fcos_postprocess(
-                locations, logits, bbox_reg, ctrness, images.sizes_wh(),
-                c.fcos_pre_nms_top_n, c.fcos_nms_th,
-                c.detections_per_img_rpn_only, c.nms_pre_topk,
-                c.inference_th, c.score_mode,
+                assert targets is not None and rng is not None
+                labels, reg_targets = fcos_targets(
+                    locations, c.fpn_strides, targets.xyxy,
+                    targets.get_field("labels"), targets.valid,
+                    c.center_sample, c.pos_radius,
+                )
+                loss_cls, loss_reg, loss_ctr = fcos_losses(
+                    logits, bbox_reg, ctrness, labels, reg_targets,
+                    c.loss_gamma, c.loss_alpha, c.loc_loss_type, c.focal_mode,
+                )
+                losses.update(
+                    loss_cls=loss_cls, loss_reg=loss_reg, loss_centerness=loss_ctr
+                )
+
+            if c.rpn_only:
+                if train:
+                    return losses
+                return fcos_postprocess(
+                    locations, logits, bbox_reg, ctrness, images.sizes_wh(),
+                    c.fcos_pre_nms_top_n, c.fcos_nms_th,
+                    c.detections_per_img_rpn_only, c.nms_pre_topk,
+                    c.inference_th, c.score_mode,
+                    level_topk=c.strict_level_topk,
+                )
+
+            # proposals (box_selector under no_grad in the reference, :196-199)
+            pre_n = c.pre_nms_top_n_train if train else c.pre_nms_top_n_test
+            post_n = c.fpn_post_nms_top_n_train if train else c.fpn_post_nms_top_n_test
+            proposals = fcos_postprocess(
+                [jax.lax.stop_gradient(l) for l in locations],
+                [jax.lax.stop_gradient(x) for x in logits],
+                [jax.lax.stop_gradient(x) for x in bbox_reg],
+                [jax.lax.stop_gradient(x) for x in ctrness],
+                images.sizes_wh(), pre_n, c.rpn_nms_thresh, post_n,
+                c.nms_pre_topk, 0.0, c.score_mode,
                 level_topk=c.strict_level_topk,
             )
-
-        # proposals (box_selector under no_grad in the reference, :196-199)
-        pre_n = c.pre_nms_top_n_train if train else c.pre_nms_top_n_test
-        post_n = c.fpn_post_nms_top_n_train if train else c.fpn_post_nms_top_n_test
-        proposals = fcos_postprocess(
-            [jax.lax.stop_gradient(l) for l in locations],
-            [jax.lax.stop_gradient(x) for x in logits],
-            [jax.lax.stop_gradient(x) for x in bbox_reg],
-            [jax.lax.stop_gradient(x) for x in ctrness],
-            images.sizes_wh(), pre_n, c.rpn_nms_thresh, post_n,
-            c.nms_pre_topk, 0.0, c.score_mode,
-            level_topk=c.strict_level_topk,
-        )
+        else:
+            # anchor RPN / RetinaNet stage 1 (build_rpn dispatch,
+            # ref rpn.py:201-210)
+            if c.stage1 == "retinanet":
+                proposals, s1_losses = self.retinanet_module(
+                    combined, images.sizes_wh(), targets=targets, train=train,
+                )
+            else:
+                rng_s1 = jax.random.fold_in(rng, 7) if rng is not None else None
+                proposals, s1_losses = self.rpn_module(
+                    combined, images.sizes_wh(), targets=targets, train=train,
+                    rng=rng_s1,
+                )
+            losses.update(s1_losses)
+            if c.rpn_only or proposals is None:
+                # RetinaNet trains stage 1 only (the reference hands raw
+                # anchors to downstream code, retinanet.py:136-144 — only
+                # meaningful with RPN_ONLY); eval returns its detections
+                if train:
+                    return losses
+                return proposals
 
         # stage-2 whole-support features
         supp_7x7 = self._supp_roi_7x7(features_supp, images_supp.sizes, b)
@@ -443,9 +679,9 @@ class GeneralizedRCNN(nn.Module):
             )
             soft_labels = None
             if c.soft_labeling:
-                idx, s_valid, roi_labels, roi_reg_t, soft_labels = prep
+                idx, s_valid, roi_labels, roi_reg_t, gt_idx, soft_labels = prep
             else:
-                idx, s_valid, roi_labels, roi_reg_t = prep
+                idx, s_valid, roi_labels, roi_reg_t, gt_idx = prep
             sampled = Boxes(
                 xyxy=jnp.take_along_axis(proposals.xyxy, idx[..., None], axis=1),
                 valid=s_valid,
@@ -494,6 +730,54 @@ class GeneralizedRCNN(nn.Module):
                 loss_classifier=loss_classifier * 5.0,
                 loss_box_reg=loss_box_reg * 2.5,
             )
+
+            # mask / keypoint heads over the same sampled proposals
+            # (CombinedROIHeads train flow, ref roi_heads.py:29-55; loss is
+            # positive-weighted so padded/negative rows contribute zero)
+            labels_flat = roi_labels.reshape(-1)
+            valid_flat = s_valid.reshape(-1)
+            if c.mask_on:
+                from .mask_head import mask_head_loss, project_gt_rasters
+
+                mask_feats = self._pool_rois_at(
+                    features, sampled, c.mask_pooler_resolution,
+                    c.mask_pooler_scales, c.mask_pooler_sampling_ratio,
+                )
+                mask_logits = self.mask_head(mask_feats.astype(self.dtype))
+                rasters = targets.get_field("masks")         # (B, G, S, S)
+                sel_rast = jnp.take_along_axis(
+                    rasters, gt_idx[..., None, None], axis=1
+                ).reshape((-1,) + rasters.shape[2:])
+                sel_gt = jnp.take_along_axis(
+                    targets.xyxy, gt_idx[..., None], axis=1
+                ).reshape(-1, 4)
+                mask_t = project_gt_rasters(
+                    sel_rast, sel_gt, sampled.xyxy.reshape(-1, 4),
+                    mask_logits.shape[1],
+                )
+                losses["loss_mask"] = mask_head_loss(
+                    mask_logits, mask_t, labels_flat, valid_flat,
+                )
+            if c.keypoint_on:
+                from .keypoint_head import (
+                    keypoint_head_loss,
+                    keypoints_to_heatmap_targets,
+                )
+
+                kp_feats = self._pool_rois_at(
+                    features, sampled, c.kp_pooler_resolution,
+                    c.kp_pooler_scales, c.kp_pooler_sampling_ratio,
+                )
+                kp_logits = self.keypoint_head(kp_feats.astype(self.dtype))
+                gt_kps = targets.get_field("keypoints")      # (B, G, K, 3)
+                sel_kps = jnp.take_along_axis(
+                    gt_kps, gt_idx[..., None, None], axis=1
+                ).reshape((-1,) + gt_kps.shape[2:])
+                hm_idx, hm_valid = keypoints_to_heatmap_targets(
+                    sel_kps, sampled.xyxy.reshape(-1, 4), kp_logits.shape[1]
+                )
+                hm_valid = hm_valid & ((labels_flat > 0) & valid_flat)[:, None]
+                losses["loss_kp"] = keypoint_head_loss(kp_logits, hm_idx, hm_valid)
             return losses
 
         # eval: score every proposal against the support
@@ -503,12 +787,13 @@ class GeneralizedRCNN(nn.Module):
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
-        return roi_head_postprocess(
+        dets = roi_head_postprocess(
             cls_logits, box_deltas, proposals, target_ids,
             BoxCoder(c.bbox_reg_weights), c.roi_score_thresh,
             c.roi_nms_thresh, c.roi_detections_per_img,
             c.second_stage_cls_loss,
         )
+        return self._mask_kp_eval(features, dets)
 
 
 def build_detection_model(cfg, dtype=None):

@@ -51,11 +51,14 @@ class KeypointRCNNPredictor(nn.Module):
 
 class KeypointHead(nn.Module):
     num_keypoints: int = 17
+    conv_layers: tuple = tuple(512 for _ in range(8))
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):
-        x = KeypointRCNNFeatureExtractor(dtype=self.dtype, name="feature_extractor")(roi_feats)
+        x = KeypointRCNNFeatureExtractor(
+            layers=self.conv_layers, dtype=self.dtype, name="feature_extractor"
+        )(roi_feats)
         return KeypointRCNNPredictor(
             num_keypoints=self.num_keypoints, dtype=self.dtype, name="predictor"
         )(x)

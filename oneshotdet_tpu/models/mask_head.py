@@ -62,11 +62,14 @@ class MaskHead(nn.Module):
     """feature extractor + predictor; returns (N, 2*res, 2*res, num_classes)."""
 
     num_classes: int = 2
+    conv_layers: tuple = (256, 256, 256, 256)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats):
-        x = MaskRCNNFPNFeatureExtractor(dtype=self.dtype, name="feature_extractor")(roi_feats)
+        x = MaskRCNNFPNFeatureExtractor(
+            layers=self.conv_layers, dtype=self.dtype, name="feature_extractor"
+        )(roi_feats)
         return MaskRCNNPredictor(
             num_classes=self.num_classes, dtype=self.dtype, name="predictor"
         )(x)
@@ -92,6 +95,53 @@ def project_masks_on_boxes(gt_masks: jnp.ndarray, boxes: jnp.ndarray,
         return mask[yi][:, xi]
 
     return jax.vmap(per)(gt_masks, boxes)
+
+
+def project_gt_rasters(
+    rasters: jnp.ndarray,    # (N, S, S) per-proposal matched GT mask rasters
+    gt_boxes: jnp.ndarray,   # (N, 4) xyxy of the matched GT
+    prop_boxes: jnp.ndarray,  # (N, 4) xyxy of the proposal
+    out_size: int,
+) -> jnp.ndarray:
+    """Static-shape mask target projection.
+
+    The reference rasterizes each GT polygon cropped to the proposal box
+    (mask_head/loss.py project_masks_on_boxes); carrying polygons through a
+    jitted step is impossible, so the TPU-native pipeline pre-rasterizes each
+    GT mask to a fixed (S, S) grid over its own box and this function
+    bilinearly resamples that raster under the proposal->gt affine map
+    (zero outside the GT box). Returns (N, out_size, out_size) in [0, 1].
+    """
+    n, s, _ = rasters.shape
+    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+
+    def per(raster, gb, pb):
+        # proposal-box grid points in image coords
+        ys = pb[1] + grid * jnp.maximum(pb[3] - pb[1], 1.0)
+        xs = pb[0] + grid * jnp.maximum(pb[2] - pb[0], 1.0)
+        # normalize into the gt box, then to raster cells
+        gy = (ys - gb[1]) / jnp.maximum(gb[3] - gb[1], 1.0) * s - 0.5
+        gx = (xs - gb[0]) / jnp.maximum(gb[2] - gb[0], 1.0) * s - 0.5
+        inside_y = (gy > -0.5) & (gy < s - 0.5)
+        inside_x = (gx > -0.5) & (gx < s - 0.5)
+        y0 = jnp.clip(jnp.floor(gy), 0, s - 1)
+        x0 = jnp.clip(jnp.floor(gx), 0, s - 1)
+        y1 = jnp.clip(y0 + 1, 0, s - 1)
+        x1 = jnp.clip(x0 + 1, 0, s - 1)
+        fy = jnp.clip(gy - y0, 0.0, 1.0)
+        fx = jnp.clip(gx - x0, 0.0, 1.0)
+        y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+        x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+        r00 = raster[y0i][:, x0i]
+        r01 = raster[y0i][:, x1i]
+        r10 = raster[y1i][:, x0i]
+        r11 = raster[y1i][:, x1i]
+        top = r00 * (1 - fx)[None, :] + r01 * fx[None, :]
+        bot = r10 * (1 - fx)[None, :] + r11 * fx[None, :]
+        out = top * (1 - fy)[:, None] + bot * fy[:, None]
+        return out * (inside_y[:, None] & inside_x[None, :])
+
+    return jax.vmap(per)(rasters.astype(jnp.float32), gt_boxes, prop_boxes)
 
 
 def mask_head_loss(mask_logits: jnp.ndarray, mask_targets: jnp.ndarray,

@@ -187,8 +187,10 @@ def prepare_roi_targets(
     """subsample + target prep (loss.py:106-292) for the whole batch.
 
     Returns (sampled_idx (B, S), sampled_valid (B, S), labels (B, S),
-    reg_targets (B, S, 4)[, soft_labels (B, S)]) with
-    S = batch_size_per_image.
+    reg_targets (B, S, 4), matched_gt_idx (B, S)[, soft_labels (B, S)])
+    with S = batch_size_per_image. matched_gt_idx is the clamped index of
+    each sampled proposal's matched GT (used by the mask/keypoint heads to
+    fetch per-GT targets, ref mask_head/loss.py prepare_targets).
     """
 
     def per_image(key, prop_xyxy, prop_valid, gt_xyxy, gt_valid, gt_labels):
@@ -213,19 +215,20 @@ def prepare_roi_targets(
             jnp.take(labels, idx),
             jnp.take(reg_targets, idx, axis=0),
             jnp.take(match_iou, idx),
+            jnp.take(clamped, idx),
         )
 
     b = proposals.xyxy.shape[0]
     keys = jax.random.split(rng, b)
-    idx, s_valid, labels, reg_t, match_iou = jax.vmap(per_image)(
+    idx, s_valid, labels, reg_t, match_iou, gt_idx = jax.vmap(per_image)(
         keys, proposals.xyxy, proposals.valid, gt.xyxy, gt.valid,
         gt.get_field("labels"),
     )
     if soft_labeling:
-        return idx, s_valid, labels, reg_t, soft_labeling_function(
+        return idx, s_valid, labels, reg_t, gt_idx, soft_labeling_function(
             match_iou, soft_labeling_func
         )
-    return idx, s_valid, labels, reg_t
+    return idx, s_valid, labels, reg_t, gt_idx
 
 
 def roi_head_loss(

@@ -116,6 +116,10 @@ def iou_loss(
         raise NotImplementedError(loss_type)
 
     if weight is not None:
+        # zero-weight (padded) rows can hold garbage targets whose loss is
+        # NaN/inf (e.g. -log of a negative "iou"); the reference never
+        # evaluates those rows, so mask BEFORE multiplying — NaN * 0 = NaN
+        losses = jnp.where(weight > 0, losses, 0.0)
         wsum = weight.sum()
         return jnp.where(wsum > 0, (losses * weight).sum() / jnp.maximum(wsum, EPSILON), 0.0)
     return losses.mean()

@@ -177,6 +177,27 @@ def test_supp_sim_file_cfg_key(synthetic_coco, small_cfg, tmp_path, monkeypatch)
     assert len(supp) == 1 and supp[0].size[0] > 1
 
 
+def test_mask_on_dataset_rasters(synthetic_coco, small_cfg):
+    """MODEL.MASK_ON: the dataset pre-rasterizes each GT's polygons to a
+    fixed box-normalized grid and the collator pads them to gt_masks
+    (the static replacement for the reference's SegmentationMask target
+    field, coco.py:509-520)."""
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.MODEL.MASK_ON = True
+    c.TPU.MASK_RASTER = 12
+    transforms = build_transforms(c, is_train=True)
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=transforms)
+    item = ds[0]
+    assert item["masks"].shape[1:] == (12, 12)
+    assert item["masks"].shape[0] == len(item["boxes"])
+    # the fixture's polygon covers the left half of the big gt box
+    assert item["masks"].max() == 1.0
+    coll = BatchCollator(c)
+    batch = coll([item, ds[1]])
+    assert batch["gt_masks"].shape == (2, 4, 12, 12)
+
+
 def test_collator_buckets(synthetic_coco, small_cfg):
     ann_file, img_dir = synthetic_coco
     transforms = build_transforms(small_cfg, is_train=True)
