@@ -147,6 +147,9 @@ class DetectorConfig:
     mask_raster: int = 56
     # few-shot
     num_shot: int = 1
+    supp_aug: bool = False
+    num_supp_aug: int = 1
+    supp_aug_method: str = "avg"   # avg | max | conv (ref :280-294)
     supp_roialign: bool = True
     max_gt: int = 64
     remat_backbone: bool = False
@@ -250,6 +253,9 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES,
         mask_raster=cfg.TPU.MASK_RASTER,
         num_shot=cfg.FEW_SHOT.NUM_SHOT,
+        supp_aug=cfg.FEW_SHOT.SUPP_AUG,
+        num_supp_aug=cfg.FEW_SHOT.NUM_SUPP_AUG,
+        supp_aug_method=cfg.FEW_SHOT.SUPP_AUG_METHOD,
         supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
         max_gt=cfg.TPU.MAX_GT_BOXES,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
@@ -288,6 +294,12 @@ class GeneralizedRCNN(nn.Module):
             self.supp_backbone = backbone_cls(
                 depth=c.depth, out_channels=c.out_channels,
                 use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="supp_backbone",
+            )
+        if c.supp_aug and c.supp_aug_method == "conv":
+            # 3x3 conv merging the aug variants' channels (ref :75-80)
+            self.supp_aug_conv = nn.Conv(
+                c.out_channels, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype, name="supp_aug_conv",
             )
         # stage-1 dispatch (build_rpn, ref rpn.py:201-210)
         if c.stage1 == "fcos":
@@ -365,8 +377,36 @@ class GeneralizedRCNN(nn.Module):
     def _supp_features(self, supp: ImageBatch):
         c = self.config
         if c.siamese_backbone:
-            return self.supp_backbone(supp.pixels)
-        return self.backbone(supp.pixels)
+            feats = self.supp_backbone(supp.pixels)
+        else:
+            feats = self.backbone(supp.pixels)
+        return self._merge_supp_aug(feats)
+
+    def _merge_supp_aug(self, feats):
+        """SUPP_AUG_METHOD merge of the (1 + NUM_SUPP_AUG) augmented variants
+        of each support into one feature map per (image, shot) group
+        (ref generalized_rcnn.py:280-294; 'conv' path supp_aug_conv :75-80).
+        Input per level: (B*shot*aug, H, W, C) -> (B*shot, H, W, C)."""
+        c = self.config
+        if not c.supp_aug:
+            return feats
+        a = 1 + c.num_supp_aug
+        out = []
+        for f in feats:
+            n, h, w, ch = f.shape
+            g = f.reshape(n // a, a, h, w, ch)
+            if c.supp_aug_method == "avg":
+                out.append(g.mean(axis=1))
+            elif c.supp_aug_method == "max":
+                out.append(g.max(axis=1))
+            elif c.supp_aug_method == "conv":
+                # channel-concat the aug variants (aug-major, torch
+                # magic_combine order) then 3x3 conv aug*C -> C (no bias)
+                stacked = g.transpose(0, 2, 3, 1, 4).reshape(n // a, h, w, a * ch)
+                out.append(self.supp_aug_conv(stacked))
+            else:
+                raise ValueError(c.supp_aug_method)
+        return out
 
     def _fuse(self, features, features_supp, supp_sizes_hw, batch_size):
         """1x1 supp pooling + shot-average + channel-multiply (ref :296-311)."""
@@ -447,7 +487,10 @@ class GeneralizedRCNN(nn.Module):
     def _supp_roi_7x7(self, features_supp, supp_sizes_hw, batch_size):
         """Whole-support 7x7 features for stage 2 (supproi_pooling.py:42-73).
 
-        Shot-averaged to one support per query image.
+        Returns (B, shot, 7, 7, C): the reference keeps shots separate and
+        the box head loops them — training uses shot 0 (the loop returns in
+        its first iteration, box_head.py:180-201) and eval max-merges the
+        per-shot logits (:241-256).
         """
         c = self.config
         rois5 = _whole_image_rois(supp_sizes_hw)
@@ -463,7 +506,32 @@ class GeneralizedRCNN(nn.Module):
         )  # (B*shot, 7, 7, C)
         shot = pooled.shape[0] // batch_size
         r = c.pooler_resolution
-        return pooled.reshape(batch_size, shot, r, r, -1).mean(axis=1)
+        return pooled.reshape(batch_size, shot, r, r, -1)
+
+    def _roi_head_multi_shot(self, roi_feats, supp_7x7):
+        """Eval-time multi-support merge (box_head.py:118-124, 241-256):
+        run the relation head once per support shot and take the
+        element-wise max over class logits; each class slot's box deltas
+        follow the winning shot for that slot."""
+        shot = supp_7x7.shape[1]
+        if shot == 1:
+            return self.roi_head(roi_feats, supp_7x7[:, 0])
+        logits_all, regs_all = [], []
+        for s in range(shot):
+            lg, rg = self.roi_head(roi_feats, supp_7x7[:, s])
+            logits_all.append(lg)
+            regs_all.append(rg)
+        logits = jnp.stack(logits_all)      # (S, N, ncls)
+        regs = jnp.stack(regs_all)          # (S, N, 4*nreg)
+        cls_idx = jnp.argmax(logits, axis=0)             # (N, ncls)
+        merged_logits = jnp.max(logits, axis=0)
+        n, ncls = cls_idx.shape
+        if regs.shape[-1] == 4 * ncls:
+            box_idx = jnp.repeat(cls_idx, 4, axis=-1)    # (N, 4*ncls)
+        else:  # reg slots don't align with class slots: follow class 0
+            box_idx = jnp.broadcast_to(cls_idx[:, :1], (n, regs.shape[-1]))
+        merged_regs = jnp.take_along_axis(regs, box_idx[None], axis=0)[0]
+        return merged_logits, merged_regs
 
     def _mask_kp_eval(self, features, dets: Boxes) -> Boxes:
         """Eval-time mask/keypoint predictions over the final detections
@@ -513,7 +581,11 @@ class GeneralizedRCNN(nn.Module):
         """
         c = self.config
         features_supp = self._supp_features(images_supp)
-        rois = _whole_image_rois(images_supp.sizes)
+        supp_sizes = (
+            images_supp.sizes[:: 1 + c.num_supp_aug] if c.supp_aug
+            else images_supp.sizes
+        )
+        rois = _whole_image_rois(supp_sizes)
         pooled = []
         for lvl, fs in enumerate(features_supp):
             if c.supp_roialign:
@@ -522,14 +594,14 @@ class GeneralizedRCNN(nn.Module):
                 p = fs.mean(axis=(1, 2), keepdims=True)
             shot = p.shape[0] // batch_size
             pooled.append(p.reshape(batch_size, shot, 1, 1, -1).mean(axis=1))
-        supp_7x7 = self._supp_roi_7x7(features_supp, images_supp.sizes, batch_size)
+        supp_7x7 = self._supp_roi_7x7(features_supp, supp_sizes, batch_size)
         return pooled, supp_7x7
 
     def detect_with_support(
         self,
         images: ImageBatch,
         supp_pooled,          # list of (B, 1, 1, C) per level
-        supp_7x7,             # (B, 7, 7, C)
+        supp_7x7,             # (B, shot, 7, 7, C)
         target_ids=None,
     ):
         """Eval forward with precomputed (cached) support features."""
@@ -555,7 +627,7 @@ class GeneralizedRCNN(nn.Module):
             return proposals
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
         # per-image support: roi_head broadcasts internally (image-major ROIs)
-        cls_logits, box_deltas = self.roi_head(
+        cls_logits, box_deltas = self._roi_head_multi_shot(
             roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
         )
         if target_ids is None:
@@ -586,8 +658,14 @@ class GeneralizedRCNN(nn.Module):
 
         features = self.backbone(images.pixels.astype(self.dtype))
         features_supp = self._supp_features(images_supp)
+        # after aug-merge one size per (image, shot) group (ref :233-241
+        # keeps every aug_num-th size; aug variants share their source size)
+        supp_sizes = (
+            images_supp.sizes[:: 1 + c.num_supp_aug] if c.supp_aug
+            else images_supp.sizes
+        )
 
-        combined = self._fuse(features, features_supp, images_supp.sizes, b)
+        combined = self._fuse(features, features_supp, supp_sizes, b)
 
         losses = {}
         if c.stage1 == "fcos":
@@ -655,8 +733,8 @@ class GeneralizedRCNN(nn.Module):
                     return losses
                 return proposals
 
-        # stage-2 whole-support features
-        supp_7x7 = self._supp_roi_7x7(features_supp, images_supp.sizes, b)
+        # stage-2 whole-support features, (B, shot, 7, 7, C)
+        supp_7x7 = self._supp_roi_7x7(features_supp, supp_sizes, b)
 
         if train:
             # append gt boxes to proposals (inference.py:139-160)
@@ -691,24 +769,31 @@ class GeneralizedRCNN(nn.Module):
             roi_feats = self._pool_rois(features, sampled)
             n = roi_feats.shape[0]
             r = c.pooler_resolution
+            # training uses shot 0 (the reference's shot loop returns from
+            # its first iteration, box_head.py:180-201)
+            supp_s0 = supp_7x7[:, 0]
             cls_logits, box_deltas = self.roi_head(
-                roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
+                roi_feats.astype(self.dtype), supp_s0.astype(self.dtype)
             )
             rev_logits = neg_logits = None
             if c.reverse_order:
                 # swapped concat order pass (box_head.py:143-171): the
                 # support side leads, so it must be expanded to per-ROI
                 supp_exp = jnp.broadcast_to(
-                    supp_7x7[:, None], (b, n // b, r, r, supp_7x7.shape[-1])
+                    supp_s0[:, None], (b, n // b, r, r, supp_s0.shape[-1])
                 ).reshape(n, r, r, -1)
                 rev_logits, _ = self.roi_head(
                     supp_exp.astype(self.dtype), roi_feats.astype(self.dtype)
                 )
             if c.neg_support and images_neg_supp is not None:
                 feats_neg = self._supp_features(images_neg_supp)
-                neg_7x7 = self._supp_roi_7x7(feats_neg, images_neg_supp.sizes, b)
+                neg_sizes = (
+                    images_neg_supp.sizes[:: 1 + c.num_supp_aug] if c.supp_aug
+                    else images_neg_supp.sizes
+                )
+                neg_7x7 = self._supp_roi_7x7(feats_neg, neg_sizes, b)
                 neg_logits, _ = self.roi_head(
-                    roi_feats.astype(self.dtype), neg_7x7.astype(self.dtype)
+                    roi_feats.astype(self.dtype), neg_7x7[:, 0].astype(self.dtype)
                 )
             out = roi_head_loss(
                 cls_logits, box_deltas, roi_labels, roi_reg_t, s_valid,
@@ -780,9 +865,10 @@ class GeneralizedRCNN(nn.Module):
                 losses["loss_kp"] = keypoint_head_loss(kp_logits, hm_idx, hm_valid)
             return losses
 
-        # eval: score every proposal against the support
+        # eval: score every proposal against the support; multi-shot
+        # supports max-merge (box_head.py:241-256)
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
-        cls_logits, box_deltas = self.roi_head(
+        cls_logits, box_deltas = self._roi_head_multi_shot(
             roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
         )
         if target_ids is None:
