@@ -88,6 +88,7 @@ class DetectorConfig:
     retina_prior_prob: float = 0.01
     # fcos
     fpn_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    dense_points: int = 1
     num_convs: int = 4
     prior_prob: float = 0.01
     center_sample: bool = True
@@ -146,6 +147,7 @@ class DetectorConfig:
     num_keypoints: int = 17
     mask_raster: int = 56
     # few-shot
+    add_artificial_proposals: bool = False
     num_shot: int = 1
     supp_aug: bool = False
     num_supp_aug: int = 1
@@ -198,6 +200,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         retina_num_convs=cfg.MODEL.RETINANET.NUM_CONVS,
         retina_prior_prob=cfg.MODEL.RETINANET.PRIOR_PROB,
         fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+        dense_points=cfg.MODEL.FCOS.DENSE_POINTS,
         num_convs=cfg.MODEL.FCOS.NUM_CONVS,
         prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
         center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
@@ -252,6 +255,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         kp_conv_layers=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS),
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES,
         mask_raster=cfg.TPU.MASK_RASTER,
+        add_artificial_proposals=cfg.FEW_SHOT.ADD_ARTIFICIAL_PROPOSALS,
         num_shot=cfg.FEW_SHOT.NUM_SHOT,
         supp_aug=cfg.FEW_SHOT.SUPP_AUG,
         num_supp_aug=cfg.FEW_SHOT.NUM_SUPP_AUG,
@@ -305,7 +309,8 @@ class GeneralizedRCNN(nn.Module):
         if c.stage1 == "fcos":
             self.fcos_head = FCOSHead(
                 num_convs=c.num_convs, num_classes=1, prior_prob=c.prior_prob,
-                num_levels=len(c.fpn_strides), dtype=self.dtype, name="fcos_head",
+                num_levels=len(c.fpn_strides), dense_points=c.dense_points,
+                dtype=self.dtype, name="fcos_head",
             )
         elif c.stage1 == "retinanet":
             from .retinanet import RetinaNetModule
@@ -612,12 +617,13 @@ class GeneralizedRCNN(nn.Module):
         if c.stage1 == "fcos":
             logits, bbox_reg, ctrness = self.fcos_head(combined)
             shapes = [(f.shape[1], f.shape[2]) for f in combined]
-            locations = compute_locations(shapes, c.fpn_strides)
+            locations = compute_locations(shapes, c.fpn_strides, c.dense_points)
             proposals = fcos_postprocess(
                 locations, logits, bbox_reg, ctrness, images.sizes_wh(),
                 c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
                 c.nms_pre_topk, 0.0, c.score_mode,
                 level_topk=c.strict_level_topk,
+                dense_points=c.dense_points,
             )
         elif c.stage1 == "retinanet":
             proposals, _ = self.retinanet_module(combined, images.sizes_wh())
@@ -671,7 +677,7 @@ class GeneralizedRCNN(nn.Module):
         if c.stage1 == "fcos":
             logits, bbox_reg, ctrness = self.fcos_head(combined)
             shapes = [(f.shape[1], f.shape[2]) for f in combined]
-            locations = compute_locations(shapes, c.fpn_strides)
+            locations = compute_locations(shapes, c.fpn_strides, c.dense_points)
 
             if train:
                 assert targets is not None and rng is not None
@@ -683,6 +689,7 @@ class GeneralizedRCNN(nn.Module):
                 loss_cls, loss_reg, loss_ctr = fcos_losses(
                     logits, bbox_reg, ctrness, labels, reg_targets,
                     c.loss_gamma, c.loss_alpha, c.loc_loss_type, c.focal_mode,
+                    dense_points=c.dense_points,
                 )
                 losses.update(
                     loss_cls=loss_cls, loss_reg=loss_reg, loss_centerness=loss_ctr
@@ -697,6 +704,7 @@ class GeneralizedRCNN(nn.Module):
                     c.detections_per_img_rpn_only, c.nms_pre_topk,
                     c.inference_th, c.score_mode,
                     level_topk=c.strict_level_topk,
+                dense_points=c.dense_points,
                 )
 
             # proposals (box_selector under no_grad in the reference, :196-199)
@@ -710,6 +718,7 @@ class GeneralizedRCNN(nn.Module):
                 images.sizes_wh(), pre_n, c.rpn_nms_thresh, post_n,
                 c.nms_pre_topk, 0.0, c.score_mode,
                 level_topk=c.strict_level_topk,
+                dense_points=c.dense_points,
             )
         else:
             # anchor RPN / RetinaNet stage 1 (build_rpn dispatch,
@@ -745,7 +754,20 @@ class GeneralizedRCNN(nn.Module):
                     "objectness": jnp.where(targets.valid, 1.0, 0.0),
                 },
             )
-            proposals = cat_boxes(proposals, gt_as_props)
+            if c.add_artificial_proposals:
+                # IoU-binned jittered GT boxes lead, then the GTs, then the
+                # scored proposals, capped at 1000 slots
+                # (generalized_rcnn.py:106-204; toggle inference.py:273-279)
+                from .roi_head import make_artificial_proposals, truncate_boxes
+
+                art = make_artificial_proposals(
+                    jax.random.fold_in(rng, 3), gt_as_props
+                )
+                proposals = truncate_boxes(
+                    cat_boxes(cat_boxes(art, gt_as_props), proposals), 1000
+                )
+            else:
+                proposals = cat_boxes(proposals, gt_as_props)
 
             rng_sample = jax.random.fold_in(rng, 1)
             prep = prepare_roi_targets(

@@ -59,6 +59,7 @@ class FCOSHead(nn.Module):
     num_classes: int = 1  # hardcoded 1 in the reference (fcos.py:20)
     prior_prob: float = 0.01
     num_levels: int = 5
+    dense_points: int = 1  # DENSE_POINTS 4/5-point variant (fcos.py:53-63)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,17 +74,17 @@ class FCOSHead(nn.Module):
         ]
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = nn.Conv(
-            self.num_classes, (3, 3), padding="SAME", dtype=self.dtype,
+            self.num_classes * self.dense_points, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.constant(bias_value), name="cls_logits",
         )
         bbox_pred = nn.Conv(
-            4, (3, 3), padding="SAME", dtype=self.dtype,
+            4 * self.dense_points, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros, name="bbox_pred",
         )
         centerness = nn.Conv(
-            1, (3, 3), padding="SAME", dtype=self.dtype,
+            1 * self.dense_points, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros, name="centerness",
         )
@@ -103,14 +104,31 @@ class FCOSHead(nn.Module):
         return logits, bbox_reg, ctrness
 
 
-def compute_locations(feature_shapes: Sequence[Tuple[int, int]], strides: Sequence[int]):
-    """Per-level (H*W, 2) location grids (fcos.py:220-234): x = i*stride + stride//2."""
+def compute_locations(feature_shapes: Sequence[Tuple[int, int]], strides: Sequence[int],
+                      dense_points: int = 1):
+    """Per-level (H*W*dense_points, 2) location grids (fcos.py:220-234):
+    x = i*stride + stride//2, each cell optionally expanded into 4/5 dense
+    sub-points at +-stride//4 offsets (get_dense_locations, fcos.py:236-255;
+    sub-point index is the fastest-varying axis, matching the head's
+    dp-major channel layout)."""
     out = []
     for (h, w), stride in zip(feature_shapes, strides):
         xs = jnp.arange(w, dtype=jnp.float32) * stride + stride // 2
         ys = jnp.arange(h, dtype=jnp.float32) * stride + stride // 2
         yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-        out.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+        loc = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+        if dense_points > 1:
+            step = float(stride // 4)
+            if dense_points == 4:
+                pts = jnp.array([[-step, -step], [step, -step],
+                                 [-step, step], [step, step]], jnp.float32)
+            elif dense_points == 5:
+                pts = jnp.array([[-step, -step], [step, -step], [0.0, 0.0],
+                                 [-step, step], [step, step]], jnp.float32)
+            else:
+                raise ValueError("dense points only support 1, 4, 5")
+            loc = (loc[:, None, :] + pts[None, :, :]).reshape(-1, 2)
+        out.append(loc)
     return out
 
 
@@ -212,10 +230,11 @@ def fcos_losses(
     alpha: float = 0.25,
     loc_loss_type: str = "giou",
     focal_mode: str = "SIGMOID",
+    dense_points: int = 1,
 ):
     """Flatten levels and compute the three FCOS losses (loss.py:213-276)."""
     n = logits[0].shape[0]
-    c = logits[0].shape[-1]
+    c = logits[0].shape[-1] // dense_points  # classes per point (loss.py:228)
     cls_flat = jnp.concatenate([x.reshape(n, -1, c) for x in logits], axis=1).reshape(-1, c)
     reg_flat = jnp.concatenate([x.reshape(n, -1, 4) for x in bbox_reg], axis=1).reshape(-1, 4)
     ctr_flat = jnp.concatenate([x.reshape(n, -1) for x in ctrness], axis=1).reshape(-1)
@@ -254,6 +273,7 @@ def fcos_postprocess(
     score_mode: str = "BINARY",
     min_size: float = 0.0,
     level_topk: bool = True,
+    dense_points: int = 1,
 ) -> Boxes:
     """Decode + per-level top-k + cross-level NMS → padded proposal Boxes.
 
@@ -264,13 +284,12 @@ def fcos_postprocess(
     b = logits[0].shape[0]
 
     def level_scores(loc, lg, ct):
-        hw = lg.shape[1] * lg.shape[2]
-        c = lg.shape[-1]
+        c = lg.shape[-1] // dense_points  # (inference.py:66-71)
         if score_mode == "BINARY":
-            cls = jax.nn.sigmoid(lg.reshape(b, hw, c))[..., 0]
+            cls = jax.nn.sigmoid(lg.reshape(b, -1, c))[..., 0]
         else:  # MULTI: 2-way softmax, take foreground prob (inference.py:63-66)
-            cls = jax.nn.softmax(lg.reshape(b, hw, c)[..., :2], axis=-1)[..., 1]
-        ctr = jax.nn.sigmoid(ct.reshape(b, hw))
+            cls = jax.nn.softmax(lg.reshape(b, -1, c)[..., :2], axis=-1)[..., 1]
+        ctr = jax.nn.sigmoid(ct.reshape(b, -1))
         candidate = cls > pre_nms_thresh
         # mask out locations beyond each image's true extent
         in_img = (loc[None, :, 0] < image_sizes_wh[:, 0:1]) & (
@@ -295,12 +314,11 @@ def fcos_postprocess(
         # selection (FCOSPostProcessor.forward_for_single_feature_map)
         per_level_boxes, per_level_scores = [], []
         for loc, lg, br, ct in zip(locations, logits, bbox_reg, ctrness):
-            hw = lg.shape[1] * lg.shape[2]
             score = level_scores(loc, lg, ct)
-            k = min(pre_nms_top_n, hw)
+            k = min(pre_nms_top_n, score.shape[1])
             top_scores, top_idx = jax.lax.top_k(score, k)  # (B, k)
             reg_k = jnp.take_along_axis(
-                br.reshape(b, hw, 4), top_idx[..., None], axis=1
+                br.reshape(b, -1, 4), top_idx[..., None], axis=1
             )
             per_level_boxes.append(decode(loc[top_idx], reg_k))
             per_level_scores.append(top_scores)

@@ -231,6 +231,95 @@ def prepare_roi_targets(
     return idx, s_valid, labels, reg_t, gt_idx
 
 
+def make_artificial_proposals(
+    rng: jax.Array,
+    gt: Boxes,                    # batched (B, G)
+    iou_lower_bound: float = 0.5999,
+    required_num: int = 3,
+    granularity: float = 0.1,
+    pool: int = 64,
+) -> Boxes:
+    """IoU-binned jittered GT proposals (generalized_rcnn.py:123-204).
+
+    The reference rejection-samples per GT until every IoU bin
+    [0.6,0.7) ... [0.9,1.0) holds ``required_num`` jitters. A data-dependent
+    while-loop is hostile to jit, so this draws a fixed ``pool`` of
+    candidates per GT (same per-coordinate uniform(thres-1, 1-thres) jitter,
+    thres = iou_lower_bound + 0.25), keeps the first ``required_num`` per
+    bin, and marks unfilled slots invalid instead of looping. Candidates
+    touching the image border or below the IoU bound are rejected exactly as
+    in the reference (:166-172); IoU here uses the raw (no TO_REMOVE) areas
+    the reference's local box_iou uses (:133-143).
+
+    Returns Boxes (B, G * nbins * required_num) with fields scores /
+    objectness = 1 for valid slots. The GT boxes themselves are appended by
+    the caller (random_shifts cats them, :178).
+    """
+    nbins = int((1.0 - iou_lower_bound) / granularity)
+    thres = iou_lower_bound + 0.25
+    b, g = gt.valid.shape
+
+    def per_box(key, box, valid, size_wh):
+        off = jax.random.uniform(
+            key, (pool, 4), minval=thres - 1.0, maxval=1.0 - thres
+        )
+        w = box[2] - box[0]
+        h = box[3] - box[1]
+        cand = box[None, :] + off * jnp.array([w, h, w, h])
+        inside = (
+            (cand[:, 0] > 0) & (cand[:, 1] > 0)
+            & (cand[:, 2] < size_wh[0]) & (cand[:, 3] < size_wh[1])
+        )
+        # raw-area IoU (reference's local box_iou, :133-143)
+        il = jnp.maximum(box[0], cand[:, 0])
+        it = jnp.maximum(box[1], cand[:, 1])
+        ir = jnp.minimum(box[2], cand[:, 2])
+        ib = jnp.minimum(box[3], cand[:, 3])
+        inter = jnp.maximum(ir - il, 0.0) * jnp.maximum(ib - it, 0.0)
+        area = lambda bx: (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1])
+        iou = inter / jnp.maximum(area(box) + area(cand) - inter, 1e-9)
+        ok = inside & (iou >= iou_lower_bound) & valid
+        bin_idx = jnp.clip(
+            jnp.floor((iou - iou_lower_bound) / granularity), 0, nbins - 1
+        ).astype(jnp.int32)
+        boxes_out, valid_out = [], []
+        order = jnp.arange(pool)
+        for bi in range(nbins):
+            score = jnp.where(ok & (bin_idx == bi), order, pool)
+            sel = jnp.sort(score)[:required_num]
+            boxes_out.append(cand[jnp.minimum(sel, pool - 1)])
+            valid_out.append(sel < pool)
+        return jnp.concatenate(boxes_out), jnp.concatenate(valid_out)
+
+    def per_image(key, xyxy, valid, size_wh):
+        keys = jax.random.split(key, g)
+        bx, vl = jax.vmap(per_box, in_axes=(0, 0, 0, None))(
+            keys, xyxy, valid, size_wh
+        )
+        return bx.reshape(-1, 4), vl.reshape(-1)
+
+    keys = jax.random.split(rng, b)
+    bx, vl = jax.vmap(per_image)(keys, gt.xyxy, gt.valid, gt.size)
+    ones = jnp.where(vl, 1.0, 0.0)
+    return Boxes(
+        xyxy=bx, valid=vl, size=gt.size,
+        fields={"scores": ones, "objectness": ones},
+    )
+
+
+def truncate_boxes(boxes: Boxes, k: int) -> Boxes:
+    """Static slice of the first k capacity slots (the reference's
+    proposal[:1000] cap after adding artificial proposals, :202)."""
+    if boxes.capacity <= k:
+        return boxes
+    return Boxes(
+        xyxy=boxes.xyxy[:, :k],
+        valid=boxes.valid[:, :k],
+        size=boxes.size,
+        fields={n: v[:, :k] for n, v in boxes.fields.items()},
+    )
+
+
 def roi_head_loss(
     logits: jnp.ndarray,        # (B*S, num_classes)
     deltas: jnp.ndarray,        # (B*S, 4*num_reg)
