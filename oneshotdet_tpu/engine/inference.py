@@ -214,8 +214,10 @@ def inference(
         reached = max(results_by_idx.keys(), default=-1) + 1
         predictions = predictions[:reached]
         trimmed = _TrimmedDataset(dataset, reached)
-        return evaluate(trimmed, predictions, output_folder, logger)
-    return evaluate(dataset, predictions, output_folder, logger)
+        return evaluate(trimmed, predictions, output_folder, logger,
+                        box_only=cfg.MODEL.RPN_ONLY)
+    return evaluate(dataset, predictions, output_folder, logger,
+                    box_only=cfg.MODEL.RPN_ONLY)
 
 
 class _TrimmedDataset:

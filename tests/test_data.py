@@ -280,6 +280,62 @@ def test_do_coco_evaluation_end_to_end(synthetic_coco, small_cfg, tmp_path):
     assert os.path.exists(tmp_path / "coco_custom_gt.json")
 
 
+def test_evaluate_box_proposals_recall(synthetic_coco, small_cfg):
+    """AR@N proposal recall (ref coco_eval.py:265-383): perfect proposals ->
+    AR 1.0; junk proposals -> 0; the limit cap drops late proposals."""
+    from oneshotdet_tpu.data.evaluation.coco_eval import evaluate_box_proposals
+
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+
+    def preds_from_gt(jitter=0.0, junk=False):
+        preds = []
+        for ep in range(len(ds)):
+            info, cat = ds.get_img_info(ep)
+            anns = ds.coco.loadAnns(
+                ds.coco.getAnnIds(imgIds=ds.id_to_img_map[ep], catIds=cat, iscrowd=False))
+            boxes = []
+            for a in anns:
+                x, y, w, h = a["bbox"]
+                if junk:
+                    boxes.append([0.0, 0.0, 2.0, 2.0])
+                else:
+                    boxes.append([x + jitter, y + jitter,
+                                  x + max(w - 1, 0) + jitter, y + max(h - 1, 0) + jitter])
+            preds.append({
+                "boxes": np.array(boxes, np.float64),
+                "scores": np.linspace(1.0, 0.5, len(boxes)),
+                "input_size": (info["width"], info["height"]),
+            })
+        return preds
+
+    res = evaluate_box_proposals(preds_from_gt(), ds)
+    assert res["ar"] == 1.0 and res["num_pos"] > 0
+    assert evaluate_box_proposals(preds_from_gt(junk=True), ds)["ar"] == 0.0
+    # limit=1 keeps only the top-scored proposal per image (2 gts each)
+    res_l = evaluate_box_proposals(preds_from_gt(), ds, limit=1)
+    assert 0.0 < res_l["ar"] < 1.0
+    # area filter: the small annotation (10x10=100 < 32^2) only
+    res_s = evaluate_box_proposals(preds_from_gt(), ds, area="small")
+    assert res_s["num_pos"] == len(ds) and res_s["ar"] == 1.0
+
+
+def test_do_coco_evaluation_box_only(synthetic_coco, small_cfg, tmp_path):
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+    preds = []
+    for ep in range(len(ds)):
+        info, _ = ds.get_img_info(ep)
+        preds.append({
+            "boxes": np.array([[10.0, 10.0, 98.0, 88.0]]),
+            "scores": np.array([0.9]),
+            "input_size": (info["width"], info["height"]),
+        })
+    res = do_coco_evaluation(ds, preds, output_folder=str(tmp_path), box_only=True)
+    assert "AR@100" in res and "ARl@1000" in res
+    assert os.path.exists(tmp_path / "box_proposals.json")
+
+
 def test_voc_eval_perfect_and_missed():
     gt = [{"boxes": np.array([[0, 0, 49, 49], [60, 60, 99, 99]]),
            "labels": np.array([1, 1]), "difficult": np.array([False, False])}]
