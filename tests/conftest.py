@@ -25,6 +25,20 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# True smoke tier (<1 min on this 1-core box): pure op/structure/data tests
+# with no full-model compiles. `pytest -m smoke` is the iteration loop;
+# `-m "not slow"` is the pre-commit gate; the full suite is the CI tier.
+_SMOKE_MODULES = {
+    "test_boxes", "test_config", "test_ops", "test_structures_extra",
+    "test_misc", "test_data",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def default_cfg():

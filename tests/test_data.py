@@ -472,11 +472,13 @@ def test_process_loader_matches_thread_loader(synthetic_coco, small_cfg):
     proc_batches = grab(True)
     assert len(thread_batches) == len(proc_batches)
     for tb, pb in zip(thread_batches, proc_batches):
+        # order first: if this ever fires, the mismatch is a batch-ordering
+        # race, not pixel corruption (diagnosed flaky under heavy CPU load)
+        np.testing.assert_array_equal(tb["idxs"], pb["idxs"])
+        np.testing.assert_array_equal(tb["img_ids"], pb["img_ids"])
         assert tb["query_pixels"].shape == pb["query_pixels"].shape
         np.testing.assert_array_equal(tb["query_pixels"], pb["query_pixels"])
         np.testing.assert_array_equal(tb["gt_xyxy"], pb["gt_xyxy"])
-        np.testing.assert_array_equal(tb["idxs"], pb["idxs"])
-        np.testing.assert_array_equal(tb["img_ids"], pb["img_ids"])
         assert tb["supp_pixels"].shape == pb["supp_pixels"].shape
 
 
