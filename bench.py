@@ -31,7 +31,8 @@ def main():
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--mode", default="eval", choices=["eval", "train", "latency"])
+    p.add_argument("--mode", default="all",
+                   choices=["all", "eval", "train", "latency"])
     args = p.parse_args()
 
     import jax
@@ -69,6 +70,27 @@ def main():
     if args.mode == "latency":
         run_latency_bench(c, args)
         return
+
+    # mode "all": secondary metrics first (train step + device p50 latency,
+    # VERDICT r1 Weak #6/Next #10) so the PRIMARY eval line is printed last
+    # — the driver parses the final JSON line. Guarded: a failure in a
+    # secondary bench must not cost the primary record.
+    extra = {}
+    if args.mode == "all":
+        import subprocess
+
+        for mode, key, unit in (("train", "train_images_per_sec_per_chip", "images/sec"),
+                                ("latency", "p50_latency_ms", "ms")):
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--mode", mode,
+                     "--batch", str(args.batch)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+                extra[key] = json.loads(line)["value"]
+            except Exception as e:  # noqa: BLE001
+                print(f"secondary bench {mode} failed: {e}", file=sys.stderr)
 
     model = build_detection_model(c)
     # session-unique seed: identical input CONTENT replays from the device
@@ -150,16 +172,14 @@ def main():
     img_per_sec = b * args.iters / dt
     ms_per_img = 1000.0 * dt / (b * args.iters)
     print(f"{ms_per_img:.2f} ms/image, batch {b}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "oneshot_eval_images_per_sec_per_chip",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": "oneshot_eval_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }
+    rec.update(extra)
+    print(json.dumps(rec))
 
 
 def run_latency_bench(c, args):

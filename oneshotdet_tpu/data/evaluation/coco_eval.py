@@ -138,6 +138,7 @@ def do_coco_evaluation(
     output_folder: Optional[str] = None,
     logger=None,
     box_only: bool = False,
+    iou_types=None,
 ):
     if box_only:
         # RPN_ONLY proposal-recall table (reference coco_eval.py:25-40)
@@ -159,7 +160,8 @@ def do_coco_evaluation(
             with open(os.path.join(output_folder, "box_proposals.json"), "w") as f:
                 json.dump(results, f, indent=2)
         return results
-    return _do_coco_detection_evaluation(dataset, predictions, output_folder, logger)
+    return _do_coco_detection_evaluation(dataset, predictions, output_folder,
+                                         logger, iou_types)
 
 
 def _do_coco_detection_evaluation(
@@ -167,7 +169,13 @@ def _do_coco_detection_evaluation(
     predictions: List[Optional[dict]],
     output_folder: Optional[str] = None,
     logger=None,
+    iou_types=None,
 ):
+    if iou_types is None:
+        # segm pass auto-enabled when predictions carry pasted-mask inputs
+        # (MODEL.MASK_ON eval; ref coco_eval.py:46-49 "segm" in iou_types)
+        has_masks = any(p and "mask_probs" in p for p in predictions if p)
+        iou_types = ("bbox", "segm") if has_masks else ("bbox",)
     gt: Dict = defaultdict(list)
     dt: Dict = defaultdict(list)
     custom_gt = {"images": [], "annotations": [], "categories": []}
@@ -233,6 +241,57 @@ def _do_coco_detection_evaluation(
 
     evaluator = COCOEvalNumpy(gt, dt, sorted(seen_cats), img_ids)
     results = evaluator.evaluate_and_accumulate().summarize()
+
+    if "segm" in iou_types:
+        # mask AP (ref prepare_for_coco_segmentation + COCOeval segm): paste
+        # each detection's 28x28 probs into the original image frame, and
+        # rasterize gt polygons; greedy matching then runs on mask IoU
+        from ...models.mask_head import paste_mask_in_image
+        from ...structures.segmentation_mask import PolygonInstance
+
+        gt_m: Dict = defaultdict(list)
+        dt_m: Dict = defaultdict(list)
+        for episode_id, prediction in enumerate(predictions):
+            original_id = dataset.id_to_img_map[episode_id]
+            img_info, cur_cat = dataset.get_img_info(episode_id)
+            width, height = img_info["width"], img_info["height"]
+            ann_ids = dataset.coco.getAnnIds(
+                imgIds=original_id, catIds=cur_cat, iscrowd=False)
+            for ann in dataset.coco.loadAnns(ann_ids):
+                seg = ann.get("segmentation")
+                mask = (
+                    PolygonInstance(seg, (width, height)).rasterize()
+                    if isinstance(seg, list) and seg
+                    else np.zeros((height, width), np.uint8)
+                )
+                gt_m[(episode_id, cur_cat)].append({
+                    "bbox": list(map(float, ann["bbox"])),
+                    "area": float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])),
+                    "iscrowd": int(ann.get("iscrowd", 0)),
+                    "mask": mask,
+                })
+            if prediction is None or "mask_probs" not in prediction:
+                continue
+            boxes = np.asarray(prediction["boxes"], np.float64)
+            scores = np.asarray(prediction["scores"], np.float64)
+            in_w, in_h = prediction["input_size"]
+            sx, sy = width / in_w, height / in_h
+            boxes = boxes * np.array([sx, sy, sx, sy])
+            for k2 in range(len(boxes)):
+                pasted = paste_mask_in_image(
+                    np.asarray(prediction["mask_probs"][k2], np.float32),
+                    boxes[k2], height, width,
+                )
+                xywh = _xyxy_to_xywh(boxes[None, k2])[0]
+                dt_m[(episode_id, cur_cat)].append({
+                    "bbox": [float(v) for v in xywh],
+                    "score": float(scores[k2]),
+                    "mask": pasted,
+                })
+        segm_eval = COCOEvalNumpy(gt_m, dt_m, sorted(seen_cats), img_ids,
+                                  iou_type="segm")
+        segm_results = segm_eval.evaluate_and_accumulate().summarize()
+        results.update({f"segm_{k}": v for k, v in segm_results.items()})
 
     msg = "  ".join(f"{k}={v:.4f}" for k, v in results.items())
     if logger:

@@ -53,7 +53,29 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nda
     return out
 
 
-def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int):
+def mask_iou(dt_masks: List[np.ndarray], gt_masks: List[np.ndarray],
+             iscrowd: np.ndarray) -> np.ndarray:
+    """pycocotools maskUtils.iou for dense binary masks: (D, G); crowd gt
+    uses intersection / dt area (iou_type='segm' path)."""
+    d, g = len(dt_masks), len(gt_masks)
+    out = np.zeros((d, g), np.float64)
+    dareas = [int(m.sum()) for m in dt_masks]
+    for j in range(g):
+        gm = gt_masks[j].astype(bool)
+        garea = int(gm.sum())
+        for i in range(d):
+            dm = dt_masks[i].astype(bool)
+            inter = int((dm & gm).sum())
+            if inter == 0:
+                continue
+            union = dareas[i] if iscrowd[j] else dareas[i] + garea - inter
+            if union > 0:
+                out[i, j] = inter / union
+    return out
+
+
+def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int,
+                  iou_type: str = "bbox"):
     """COCOeval.evaluateImg for one (image, category, area, maxDet)."""
     if not gts and not dts:
         return None
@@ -67,11 +89,16 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int):
     dts_sorted = sorted(dts, key=lambda d: -d["score"])[:max_det]
 
     if gts_sorted and dts_sorted:
-        iou = bbox_iou_xywh(
-            np.array([d["bbox"] for d in dts_sorted], np.float64),
-            np.array([g["bbox"] for g in gts_sorted], np.float64),
-            np.array([g.get("iscrowd", 0) for g in gts_sorted]),
-        )
+        crowd = np.array([g.get("iscrowd", 0) for g in gts_sorted])
+        if iou_type == "segm":
+            iou = mask_iou([d["mask"] for d in dts_sorted],
+                           [g["mask"] for g in gts_sorted], crowd)
+        else:
+            iou = bbox_iou_xywh(
+                np.array([d["bbox"] for d in dts_sorted], np.float64),
+                np.array([g["bbox"] for g in gts_sorted], np.float64),
+                crowd,
+            )
     else:
         iou = np.zeros((len(dts_sorted), len(gts_sorted)))
 
@@ -120,11 +147,13 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int):
 class COCOEvalNumpy:
     """Accumulate + summarize over a gt/dt dict pair."""
 
-    def __init__(self, gt: Dict, dt: Dict, cat_ids: List[int], img_ids: List[int]):
+    def __init__(self, gt: Dict, dt: Dict, cat_ids: List[int], img_ids: List[int],
+                 iou_type: str = "bbox"):
         self.gt = gt
         self.dt = dt
         self.cat_ids = cat_ids
         self.img_ids = img_ids
+        self.iou_type = iou_type
         self.eval = None
 
     def evaluate_and_accumulate(self):
@@ -140,7 +169,8 @@ class COCOEvalNumpy:
                     for img in self.img_ids:
                         gts = [dict(g) for g in self.gt.get((img, cat), [])]
                         dts = self.dt.get((img, cat), [])
-                        r = _evaluate_img(gts, dts, arng, max_det)
+                        r = _evaluate_img(gts, dts, arng, max_det,
+                                          self.iou_type)
                         if r is not None:
                             results.append(r)
                     if not results:

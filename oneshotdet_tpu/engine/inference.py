@@ -30,13 +30,19 @@ def make_eval_step(model, mesh=None):
     but in one process with XLA placing the work.
     """
 
+    mask_on = bool(getattr(model.config, "mask_on", False))
+
     def eval_step(variables, batch):
         images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
         supp = ImageBatch(pixels=batch["supp_pixels"], sizes=batch["supp_sizes"])
         dets = model.apply(
             variables, images, supp, target_ids=batch["target_ids"], train=False
         )
-        return dets.xyxy, dets.get_field("scores"), dets.get_field("labels"), dets.valid
+        out = (dets.xyxy, dets.get_field("scores"), dets.get_field("labels"),
+               dets.valid)
+        if mask_on:  # MODEL.MASK_ON: per-detection 28x28 fg-mask probs
+            out = out + (dets.get_field("mask_probs"),)
+        return out
 
     if mesh is None:
         return jax.jit(eval_step)
@@ -72,7 +78,11 @@ def make_cached_support_eval_steps(model, mesh=None):
             variables, images, supp_pooled, supp_7x7, batch["target_ids"],
             method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t),
         )
-        return dets.xyxy, dets.get_field("scores"), dets.get_field("labels"), dets.valid
+        out = (dets.xyxy, dets.get_field("scores"), dets.get_field("labels"),
+               dets.valid)
+        if getattr(model.config, "mask_on", False):
+            out = out + (dets.get_field("mask_probs"),)
+        return out
 
     if mesh is None:
         return jax.jit(support_step), jax.jit(query_step)
@@ -142,10 +152,11 @@ def compute_on_dataset(
                 for lvl in range(len(supp_cache[tids[0]][0]))
             ]
             supp_7x7 = jnp.concatenate([supp_cache[t][1] for t in tids], axis=0)
-            xyxy, scores, labels, valid = query_step(
-                variables, jbatch, pooled, supp_7x7)
+            out = query_step(variables, jbatch, pooled, supp_7x7)
         else:
-            xyxy, scores, labels, valid = eval_step(variables, jbatch)
+            out = eval_step(variables, jbatch)
+        xyxy, scores, labels, valid = out[:4]
+        mask_probs = np.asarray(out[4]) if len(out) > 4 else None
         jax.block_until_ready(xyxy)
         dt = timer.toc()
         b = batch["query_pixels"].shape[0]
@@ -162,6 +173,8 @@ def compute_on_dataset(
                 "scores": scores[i][v],
                 "input_size": (float(w), float(h)),
             }
+            if mask_probs is not None:
+                results[idx]["mask_probs"] = mask_probs[i][v]
         if logger and (it + 1) % 10 == 0:
             logger.info(
                 f"eval iter {it + 1}: {dt / b * 1000:.1f} ms/im "

@@ -336,6 +336,47 @@ def test_do_coco_evaluation_box_only(synthetic_coco, small_cfg, tmp_path):
     assert os.path.exists(tmp_path / "box_proposals.json")
 
 
+def test_segm_iou_type_evaluation(synthetic_coco, small_cfg, tmp_path):
+    """MODEL.MASK_ON eval: predictions carrying mask_probs trigger the segm
+    COCOeval pass (ref prepare_for_coco_segmentation + COCOeval 'segm').
+    A detection whose pasted mask reproduces the gt polygon (left half of
+    the box) scores high mask AP50; a full-box mask scores ~0.5 IoU."""
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+
+    def preds(left_half=True):
+        out = []
+        for ep in range(len(ds)):
+            info, cat = ds.get_img_info(ep)
+            anns = ds.coco.loadAnns(ds.coco.getAnnIds(
+                imgIds=ds.id_to_img_map[ep], catIds=cat, iscrowd=False))
+            boxes, masks = [], []
+            for a in anns:
+                x, y, w, h = a["bbox"]
+                boxes.append([x, y, x + max(w - 1, 0), y + max(h - 1, 0)])
+                m = np.zeros((28, 28), np.float32)
+                if left_half:
+                    m[:, :14] = 1.0   # matches the fixture polygon
+                else:
+                    m[:, :] = 1.0
+                masks.append(m)
+            out.append({
+                "boxes": np.array(boxes, np.float64),
+                "scores": np.linspace(0.9, 0.6, len(boxes)),
+                "input_size": (info["width"], info["height"]),
+                "mask_probs": np.stack(masks),
+            })
+        return out
+
+    res = do_coco_evaluation(ds, preds(True), output_folder=str(tmp_path))
+    assert "segm_ap50" in res or any(k.startswith("segm_") for k in res)
+    segm_ap50 = next(v for k, v in res.items() if k.startswith("segm_") and "50" in k)
+    assert segm_ap50 > 0.45  # the left-half mask matches the big gt only
+    res2 = do_coco_evaluation(ds, preds(False), output_folder=str(tmp_path))
+    segm2 = next(v for k, v in res2.items() if k.startswith("segm_") and "50" in k)
+    assert segm2 <= segm_ap50 + 1e-6
+
+
 def test_voc_eval_perfect_and_missed():
     gt = [{"boxes": np.array([[0, 0, 49, 49], [60, 60, 99, 99]]),
            "labels": np.array([1, 1]), "difficult": np.array([False, False])}]
