@@ -19,8 +19,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from oneshotdet_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
-    from oneshotdet_tpu.ops.pallas_roi_align_v3 import (
-        pallas_multilevel_roi_align_v3,
+    from oneshotdet_tpu.ops.pallas_roi_align_v4 import (
+        pallas_multilevel_roi_align_v4,
     )
     from oneshotdet_tpu.ops.roi_align import multilevel_roi_align
 
@@ -59,20 +59,20 @@ def main():
     # ---- parity: f32, small shapes, vs XLA oracle --------------------------
     feats, rois, lvl, sc = make_inputs(7, small=True, dtype=jnp.float32)
     ref = multilevel_roi_align(feats, rois, lvl, (7, 7), sc, 2)
-    got = pallas_multilevel_roi_align_v3(feats, rois, lvl, (7, 7), sc, 2,
+    got = pallas_multilevel_roi_align_v4(feats, rois, lvl, (7, 7), sc, 2,
                                          rois_per_step=16)
     d = float(jnp.abs(got - ref).max())
-    print(f"v3-vs-oracle (f32 small) max|diff| = {d}", flush=True)
+    print(f"v4-vs-oracle (f32 small) max|diff| = {d}", flush=True)
     assert d < 2e-5, d
 
     # bf16 production shapes vs v2 (both bf16 -> compare loosely)
     feats, rois, lvl, sc = make_inputs(11)
     ref2 = pallas_multilevel_roi_align(feats, rois, lvl, (7, 7), sc, 2,
                                        rois_per_step=64)
-    got2 = pallas_multilevel_roi_align_v3(feats, rois, lvl, (7, 7), sc, 2,
+    got2 = pallas_multilevel_roi_align_v4(feats, rois, lvl, (7, 7), sc, 2,
                                           rois_per_step=16)
     d2 = float(jnp.abs(got2.astype(jnp.float32) - ref2.astype(jnp.float32)).max())
-    print(f"v3-vs-v2 (bf16 prod) max|diff| = {d2}", flush=True)
+    print(f"v4-vs-v2 (bf16 prod) max|diff| = {d2}", flush=True)
 
     # ---- timing ------------------------------------------------------------
     for skew in (None, "p3"):
@@ -98,10 +98,10 @@ def main():
             f_, r_, l_, (7, 7), scales, 2, rois_per_step=64))
         print(f"[{name}] v2 t=64     {ms:7.2f} ms/batch ({ms/r*1000:.2f} us/ROI)",
               flush=True)
-        for t in (8, 16, 32):
-            ms = bench(lambda f_, r_, l_, t=t: pallas_multilevel_roi_align_v3(
+        for t in (16, 32):
+            ms = bench(lambda f_, r_, l_, t=t: pallas_multilevel_roi_align_v4(
                 f_, r_, l_, (7, 7), scales, 2, rois_per_step=t))
-            print(f"[{name}] v3 t={t:<4d}   {ms:7.2f} ms/batch "
+            print(f"[{name}] v4 t={t:<4d}   {ms:7.2f} ms/batch "
                   f"({ms/r*1000:.2f} us/ROI)", flush=True)
 
 
