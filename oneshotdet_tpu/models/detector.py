@@ -513,17 +513,17 @@ class GeneralizedRCNN(nn.Module):
         r = c.pooler_resolution
         return pooled.reshape(batch_size, shot, r, r, -1)
 
-    def _roi_head_multi_shot(self, roi_feats, supp_7x7):
+    def _roi_head_multi_shot(self, roi_feats, supp_7x7, use_pallas=False):
         """Eval-time multi-support merge (box_head.py:118-124, 241-256):
         run the relation head once per support shot and take the
         element-wise max over class logits; each class slot's box deltas
         follow the winning shot for that slot."""
         shot = supp_7x7.shape[1]
         if shot == 1:
-            return self.roi_head(roi_feats, supp_7x7[:, 0])
+            return self.roi_head(roi_feats, supp_7x7[:, 0], use_pallas)
         logits_all, regs_all = [], []
         for s in range(shot):
-            lg, rg = self.roi_head(roi_feats, supp_7x7[:, s])
+            lg, rg = self.roi_head(roi_feats, supp_7x7[:, s], use_pallas)
             logits_all.append(lg)
             regs_all.append(rg)
         logits = jnp.stack(logits_all)      # (S, N, ncls)
@@ -634,7 +634,8 @@ class GeneralizedRCNN(nn.Module):
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
         # per-image support: roi_head broadcasts internally (image-major ROIs)
         cls_logits, box_deltas = self._roi_head_multi_shot(
-            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
+            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype),
+            use_pallas=True,
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
@@ -891,7 +892,8 @@ class GeneralizedRCNN(nn.Module):
         # supports max-merge (box_head.py:241-256)
         roi_feats = self._pool_rois(features, proposals, use_pallas=True)
         cls_logits, box_deltas = self._roi_head_multi_shot(
-            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype)
+            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype),
+            use_pallas=True,
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)

@@ -26,6 +26,7 @@ reference checkpoints import as a pure reshape.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -111,9 +112,40 @@ class ROIBoxHeadNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray, supp_feats: jnp.ndarray):
+    def __call__(self, roi_feats: jnp.ndarray, supp_feats: jnp.ndarray,
+                 use_pallas: bool = False):
         """roi_feats: (N, 7, 7, C). Returns (N, cls), (N, 4*reg)."""
         c = self.in_channels
+
+        # Fused Pallas path (eval only — forward-only kernel): the whole
+        # compress/aggreg/fc/predictor chain runs VMEM-resident per block of
+        # ROIs (ops/pallas_roi_head.py). MEASURED ON v5e (2026-08-17, batch 8
+        # x 2000 ROIs): 19.99 ms/batch vs XLA's 20.37 standalone — a tie, and
+        # the in-model XLA head overlaps to ~14 ms, so this is OPT-IN via
+        # ONESHOT_PALLAS_ROI_HEAD=1, not the default (see the kernel header
+        # for the full measurement story). Requires per-image support layout
+        # (B divides N) and a usable block size; falls back to XLA otherwise.
+        if (
+            use_pallas
+            and os.environ.get("ONESHOT_PALLAS_ROI_HEAD") == "1"
+            and not self.is_initializing()
+            and not self.linear_fusion
+            and self.resolution == 7
+            and supp_feats.shape[0] != roi_feats.shape[0]
+            and roi_feats.shape[0] % supp_feats.shape[0] == 0
+        ):
+            from ..ops.pallas_roi_align import pallas_enabled
+            from ..ops.pallas_roi_head import (
+                _pick_t,
+                pallas_roi_head,
+                roi_head_params_from_module,
+            )
+
+            per_image = roi_feats.shape[0] // supp_feats.shape[0]
+            if pallas_enabled() and _pick_t(per_image) > 0:
+                w = roi_head_params_from_module(self.variables["params"])
+                return pallas_roi_head(roi_feats, supp_feats, w,
+                                       per_image=per_image)
 
         if not self.linear_fusion:
             x = _ConcatConv1x1(2 * c, dtype=self.dtype, name="compress_0")(

@@ -339,6 +339,56 @@ def pallas_multilevel_roi_align(
     # path bit-closely; bf16 inputs keep the fast default passes
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
+    if interp_mode == "postscatter":
+        # Interp matrices built in XLA *after* the slot scatter: only (S,)
+        # scalar params are scattered (same cost as "kernel" mode) and the
+        # (S, 7, 64/72) weight tensors materialize directly in slot order as
+        # one fused XLA pass — the big gather+scatter that made
+        # "precomputed" lose is gone. The per-ROI kernel body shrinks to
+        # slice + two matmuls + store (no dozens of tiny VPU construction
+        # ops per ROI).
+        max_win = max(windows)
+        win_r = jnp.array(windows, jnp.float32)[tier]
+        c_sh = scatter(start_h)
+        c_sw = scatter(start_w)
+        c_bh = scatter(bin_h)
+        c_bw = scatter(bin_w)
+        th_s = scatter(heights[levels])
+        tw_s = scatter(widths[levels])
+        win_s = scatter(win_r)
+        y0_s = jnp.clip(jnp.floor(c_sh), 0.0, float(slab_h) - win_s)
+        x0c = jnp.clip(jnp.floor(c_sw), 0.0, float(w_pad) - (win_s + 8.0))
+        x0_s = jnp.floor(x0c / 8.0) * 8.0
+        wy_s = _interp_weights_xla(c_sh, c_bh, y0_s, th_s, g, pooled, max_win)
+        wx_s = _interp_weights_xla(c_sw, c_bw, x0_s, tw_s, g, pooled,
+                                   max_win + 8)
+
+        kernel = _make_kernel_pw(windows, pooled, c, t, slab_h, w_pad,
+                                 precision)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((t, pooled, max_win), lambda k, *s: (k, 0, 0)),
+                pl.BlockSpec((t, pooled, max_win + 8), lambda k, *s: (k, 0, 0)),
+                pl.BlockSpec((1, slab_h, w_pad, c),
+                             lambda k, *s: (s[0][k], s[1][k], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((t, pooled, pooled, c),
+                                   lambda k, *s: (k, 0, 0, 0)),
+            scratch_shapes=[],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nslots, pooled, pooled, c), dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(1024 * 1024 * 110),
+            ),
+        )(blk_b, blk_l, blk_tier, blk_n, y0_s.astype(jnp.int32),
+          x0_s.astype(jnp.int32), wy_s, wx_s, slabs)
+        return jnp.take(out, slot_orig, axis=0)
+
     if interp_mode == "precomputed":
         # Experiment (kept for reference): interpolation matrices built in
         # XLA, vectorized over all ROIs. Measured SLOWER than the in-kernel
@@ -346,7 +396,8 @@ def pallas_multilevel_roi_align(
         # is bound by window VMEM traffic + store, not by the interp math,
         # and the host-side scatter of the (R, 7, 64/72) weight tensors
         # costs more than it saves. Bit-identical outputs (parity-checked
-        # in tools/tune_roialign.py).
+        # in tools/tune_roialign.py). See "postscatter" for the version
+        # that fixes the scatter cost.
         max_win = max(windows)
         win_r = jnp.array(windows, jnp.float32)[tier]
         th_r = heights[levels]

@@ -64,17 +64,17 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters * 1000
 
-    # parity: precomputed-interp kernel vs the original in-kernel interp
+    # parity: XLA-built interp matrices vs the original in-kernel interp
     ref = pallas_multilevel_roi_align(*inputs[0], (7, 7), scales, 2,
                                       rois_per_step=64, interp_mode="kernel")
-    got = pallas_multilevel_roi_align(*inputs[0], (7, 7), scales, 2,
-                                      rois_per_step=64,
-                                      interp_mode="precomputed")
-    diff = float(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)).max())
-    print(f"precomputed-vs-kernel parity max|diff| = {diff}", flush=True)
-    assert diff == 0.0, "interp_mode changed results"
+    for mode in ("postscatter", "precomputed"):
+        got = pallas_multilevel_roi_align(*inputs[0], (7, 7), scales, 2,
+                                          rois_per_step=64, interp_mode=mode)
+        diff = float(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+        print(f"{mode}-vs-kernel parity max|diff| = {diff}", flush=True)
+        assert diff == 0.0, f"interp_mode {mode} changed results"
 
-    for mode in ("kernel", "precomputed"):
+    for mode in ("kernel", "postscatter"):
         for t in (64, 128):
             ms = bench(mode, t)
             print(f"{mode:12s} t={t:4d}  {ms:7.2f} ms/batch "
