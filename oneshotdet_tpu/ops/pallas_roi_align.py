@@ -29,6 +29,18 @@ window (an approximation only for extremely elongated boxes).
 The W axis of the slab is (8, 128)-tiled, so window column offsets are
 quantized down to multiples of 8 and windows are 8 columns wider; the row
 axis is untiled (3rd-minor), so row offsets are free.
+
+Measured dead ends (keep for the record, don't re-derive):
+- "precomputed" interp mode (weights built in XLA pre-scatter): slower —
+  the (R, 7, 64/72) weight-tensor scatter costs more than it saves.
+- "postscatter" interp mode (weights built in XLA *after* the slot
+  scatter, so only scalars are scattered and the kernel body shrinks to
+  slice + two matmuls): bit-identical, 35.7 vs 33.7 ms on the tuner mix
+  (2026-08-17) — the per-ROI *loop iteration* (address math + two
+  M=7-row matmuls at ~5% MXU row utilization), not interp construction,
+  is the floor.
+- cross-ROI batched forms (v3/v4 files): 4-6 us/ROI — batching fixes the
+  M=7 skew but pays more in full-width intermediates + sublane shuffles.
 """
 
 from __future__ import annotations
