@@ -172,10 +172,14 @@ def _do_coco_detection_evaluation(
     iou_types=None,
 ):
     if iou_types is None:
-        # segm pass auto-enabled when predictions carry pasted-mask inputs
-        # (MODEL.MASK_ON eval; ref coco_eval.py:46-49 "segm" in iou_types)
-        has_masks = any(p and "mask_probs" in p for p in predictions if p)
-        iou_types = ("bbox", "segm") if has_masks else ("bbox",)
+        # segm/keypoints passes auto-enabled when predictions carry the
+        # fields (MODEL.MASK_ON / KEYPOINT_ON eval; ref coco_eval.py:46-51
+        # prepare_for_coco_segmentation / prepare_for_coco_keypoint)
+        iou_types = ("bbox",)
+        if any(p and "mask_probs" in p for p in predictions if p):
+            iou_types = iou_types + ("segm",)
+        if any(p and "keypoints_xy" in p for p in predictions if p):
+            iou_types = iou_types + ("keypoints",)
     gt: Dict = defaultdict(list)
     dt: Dict = defaultdict(list)
     custom_gt = {"images": [], "annotations": [], "categories": []}
@@ -292,6 +296,56 @@ def _do_coco_detection_evaluation(
                                   iou_type="segm")
         segm_results = segm_eval.evaluate_and_accumulate().summarize()
         results.update({f"segm_{k}": v for k, v in segm_results.items()})
+
+    if "keypoints" in iou_types:
+        # keypoint AP (ref prepare_for_coco_keypoint, coco_eval.py:244-261 +
+        # COCOeval iouType='keypoints'): detections carry per-keypoint image
+        # coordinates; OKS-matching against the episode GT keypoints. The dt
+        # bbox/area come from the keypoint extent, exactly as pycocotools
+        # COCO.loadRes computes them for keypoint results.
+        gt_k: Dict = defaultdict(list)
+        dt_k: Dict = defaultdict(list)
+        for episode_id, prediction in enumerate(predictions):
+            original_id = dataset.id_to_img_map[episode_id]
+            img_info, cur_cat = dataset.get_img_info(episode_id)
+            width, height = img_info["width"], img_info["height"]
+            ann_ids = dataset.coco.getAnnIds(
+                imgIds=original_id, catIds=cur_cat, iscrowd=False)
+            for ann in dataset.coco.loadAnns(ann_ids):
+                kps = ann.get("keypoints") or []
+                gt_k[(episode_id, cur_cat)].append({
+                    "bbox": list(map(float, ann["bbox"])),
+                    "area": float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])),
+                    "iscrowd": int(ann.get("iscrowd", 0)),
+                    "keypoints": [float(v) for v in kps],
+                    "num_keypoints": int(
+                        ann.get("num_keypoints",
+                                sum(1 for v in kps[2::3] if v > 0))),
+                })
+            if prediction is None or "keypoints_xy" not in prediction:
+                continue
+            scores = np.asarray(prediction["scores"], np.float64)
+            in_w, in_h = prediction["input_size"]
+            sx, sy = width / in_w, height / in_h
+            kp_xy = np.asarray(prediction["keypoints_xy"], np.float64)  # (N, K, 2)
+            kp_s = np.asarray(prediction["keypoints_scores"], np.float64)
+            kp_xy = kp_xy * np.array([sx, sy])
+            for k2 in range(len(kp_xy)):
+                flat = np.concatenate(
+                    [kp_xy[k2], kp_s[k2][:, None]], axis=1).reshape(-1)
+                xs, ys = kp_xy[k2, :, 0], kp_xy[k2, :, 1]
+                x0, y0 = float(xs.min()), float(ys.min())
+                bw, bh = float(xs.max() - xs.min()), float(ys.max() - ys.min())
+                dt_k[(episode_id, cur_cat)].append({
+                    "bbox": [x0, y0, bw, bh],
+                    "area": bw * bh,
+                    "score": float(scores[k2]),
+                    "keypoints": [float(v) for v in flat],
+                })
+        kp_eval = COCOEvalNumpy(gt_k, dt_k, sorted(seen_cats), img_ids,
+                                iou_type="keypoints")
+        kp_results = kp_eval.evaluate_and_accumulate().summarize()
+        results.update({f"keypoints_{k}": v for k, v in kp_results.items()})
 
     msg = "  ".join(f"{k}={v:.4f}" for k, v in results.items())
     if logger:

@@ -28,6 +28,21 @@ AREA_RNGS = {
 }
 MAX_DETS = (1, 10, 100)
 
+# keypoints protocol (pycocotools cocoeval.Params setKpParams): OKS
+# thresholds are the same ramp, but maxDets=[20] and no "small" area range
+KP_MAX_DETS = (20,)
+KP_AREA_RNGS = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+# per-keypoint falloff constants for the 17 COCO person keypoints
+# (pycocotools cocoeval.py self.kpt_oks_sigmas)
+KP_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+
 
 def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     """pycocotools maskUtils.iou semantics for boxes: (D, G) matrix; crowd
@@ -74,6 +89,38 @@ def mask_iou(dt_masks: List[np.ndarray], gt_masks: List[np.ndarray],
     return out
 
 
+def oks_iou(dts: List[dict], gts: List[dict],
+            sigmas: np.ndarray = KP_SIGMAS) -> np.ndarray:
+    """Object keypoint similarity matrix (D, G) — pycocotools
+    cocoeval.computeOks semantics: per-keypoint Gaussian falloff scaled by
+    the GT area; GTs with no labeled keypoint fall back to a distance from
+    the doubled GT box."""
+    d_n, g_n = len(dts), len(gts)
+    out = np.zeros((d_n, g_n), np.float64)
+    variances = (sigmas * 2.0) ** 2
+    for j in range(g_n):
+        g = np.asarray(gts[j]["keypoints"], np.float64)
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        k1 = int((vg > 0).sum())
+        bb = gts[j]["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+        y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+        for i in range(d_n):
+            d = np.asarray(dts[i]["keypoints"], np.float64)
+            xd, yd = d[0::3], d[1::3]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+            e = (dx ** 2 + dy ** 2) / variances / (
+                gts[j].get("area", bb[2] * bb[3]) + np.spacing(1)) / 2.0
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.exp(-e).sum() / max(len(e), 1)
+    return out
+
+
 def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int,
                   iou_type: str = "bbox"):
     """COCOeval.evaluateImg for one (image, category, area, maxDet)."""
@@ -83,6 +130,14 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int,
         g["_ignore"] = g.get("ignore", 0) or g.get("iscrowd", 0) or not (
             area_rng[0] <= g["area"] < area_rng[1]
         )
+        if iou_type == "keypoints":
+            # pycocotools _prepare: GTs with zero labeled keypoints are
+            # ignored for the keypoints protocol
+            n_kp = g.get(
+                "num_keypoints",
+                int((np.asarray(g.get("keypoints", []))[2::3] > 0).sum()),
+            )
+            g["_ignore"] = g["_ignore"] or n_kp == 0
     # sort gt: non-ignored first
     gt_order = sorted(range(len(gts)), key=lambda i: gts[i]["_ignore"])
     gts_sorted = [gts[i] for i in gt_order]
@@ -93,6 +148,8 @@ def _evaluate_img(gts: List[dict], dts: List[dict], area_rng, max_det: int,
         if iou_type == "segm":
             iou = mask_iou([d["mask"] for d in dts_sorted],
                            [g["mask"] for g in gts_sorted], crowd)
+        elif iou_type == "keypoints":
+            iou = oks_iou(dts_sorted, gts_sorted)
         else:
             iou = bbox_iou_xywh(
                 np.array([d["bbox"] for d in dts_sorted], np.float64),
@@ -154,17 +211,21 @@ class COCOEvalNumpy:
         self.cat_ids = cat_ids
         self.img_ids = img_ids
         self.iou_type = iou_type
+        if iou_type == "keypoints":
+            self.area_rngs, self.max_dets = KP_AREA_RNGS, KP_MAX_DETS
+        else:
+            self.area_rngs, self.max_dets = AREA_RNGS, MAX_DETS
         self.eval = None
 
     def evaluate_and_accumulate(self):
         t_n, r_n = len(IOU_THRS), len(REC_THRS)
-        k_n, a_n, m_n = len(self.cat_ids), len(AREA_RNGS), len(MAX_DETS)
+        k_n, a_n, m_n = len(self.cat_ids), len(self.area_rngs), len(self.max_dets)
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
 
         for ki, cat in enumerate(self.cat_ids):
-            for ai, (aname, arng) in enumerate(AREA_RNGS.items()):
-                for mi, max_det in enumerate(MAX_DETS):
+            for ai, (aname, arng) in enumerate(self.area_rngs.items()):
+                for mi, max_det in enumerate(self.max_dets):
                     results = []
                     for img in self.img_ids:
                         gts = [dict(g) for g in self.gt.get((img, cat), [])]
@@ -206,8 +267,8 @@ class COCOEvalNumpy:
         return self
 
     def _summarize(self, ap=True, iou_thr=None, area="all", max_det=100):
-        ai = list(AREA_RNGS.keys()).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_rngs.keys()).index(area)
+        mi = self.max_dets.index(max_det)
         if ap:
             s = self.eval["precision"]
             if iou_thr is not None:
@@ -222,6 +283,16 @@ class COCOEvalNumpy:
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self) -> Dict[str, float]:
+        if self.iou_type == "keypoints":
+            # pycocotools summarizeKps table (maxDets fixed at 20, no small)
+            return {
+                "AP": self._summarize(True, max_det=20),
+                "AP50": self._summarize(True, 0.5, max_det=20),
+                "AP75": self._summarize(True, 0.75, max_det=20),
+                "APm": self._summarize(True, area="medium", max_det=20),
+                "APl": self._summarize(True, area="large", max_det=20),
+                "AR@20": self._summarize(False, max_det=20),
+            }
         return {
             "AP": self._summarize(True),
             "AP50": self._summarize(True, 0.5),

@@ -31,6 +31,7 @@ def make_eval_step(model, mesh=None):
     """
 
     mask_on = bool(getattr(model.config, "mask_on", False))
+    kp_on = bool(getattr(model.config, "keypoint_on", False))
 
     def eval_step(variables, batch):
         images = ImageBatch(pixels=batch["query_pixels"], sizes=batch["query_sizes"])
@@ -42,6 +43,9 @@ def make_eval_step(model, mesh=None):
                dets.valid)
         if mask_on:  # MODEL.MASK_ON: per-detection 28x28 fg-mask probs
             out = out + (dets.get_field("mask_probs"),)
+        if kp_on:  # MODEL.KEYPOINT_ON: per-detection keypoint xy + scores
+            out = out + (dets.get_field("keypoints_xy"),
+                         dets.get_field("keypoints_scores"))
         return out
 
     if mesh is None:
@@ -82,6 +86,9 @@ def make_cached_support_eval_steps(model, mesh=None):
                dets.valid)
         if getattr(model.config, "mask_on", False):
             out = out + (dets.get_field("mask_probs"),)
+        if getattr(model.config, "keypoint_on", False):
+            out = out + (dets.get_field("keypoints_xy"),
+                         dets.get_field("keypoints_scores"))
         return out
 
     if mesh is None:
@@ -156,7 +163,13 @@ def compute_on_dataset(
         else:
             out = eval_step(variables, jbatch)
         xyxy, scores, labels, valid = out[:4]
-        mask_probs = np.asarray(out[4]) if len(out) > 4 else None
+        extras = list(out[4:])
+        mask_probs = None
+        if getattr(model.config, "mask_on", False) and extras:
+            mask_probs = np.asarray(extras.pop(0))
+        kp_xy = kp_scores = None
+        if getattr(model.config, "keypoint_on", False) and len(extras) >= 2:
+            kp_xy, kp_scores = np.asarray(extras[0]), np.asarray(extras[1])
         jax.block_until_ready(xyxy)
         dt = timer.toc()
         b = batch["query_pixels"].shape[0]
@@ -175,6 +188,9 @@ def compute_on_dataset(
             }
             if mask_probs is not None:
                 results[idx]["mask_probs"] = mask_probs[i][v]
+            if kp_xy is not None:
+                results[idx]["keypoints_xy"] = kp_xy[i][v]
+                results[idx]["keypoints_scores"] = kp_scores[i][v]
         if logger and (it + 1) % 10 == 0:
             logger.info(
                 f"eval iter {it + 1}: {dt / b * 1000:.1f} ms/im "

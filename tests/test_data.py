@@ -33,10 +33,16 @@ def synthetic_coco(tmp_path_factory):
         # one big annotation of cat (i % 2) + 1 and one small one
         cat = (i % 2) + 1
         # polygon covering only the LEFT HALF of the bbox (for MASK_SUPP)
+        # 17 COCO-style keypoints: 5 visible inside the bbox, rest unlabeled
+        kps = [0.0] * (17 * 3)
+        for k, (kx, ky) in enumerate([(20, 20), (40, 30), (60, 40),
+                                      (80, 50), (90, 60)]):
+            kps[3 * k:3 * k + 3] = [float(kx), float(ky), 2.0]
         annotations.append({
             "id": ann_id, "image_id": i + 1, "category_id": cat,
             "bbox": [10, 10, 90, 80], "area": 7200.0, "iscrowd": 0,
             "segmentation": [[10.0, 10.0, 55.0, 10.0, 55.0, 90.0, 10.0, 90.0]],
+            "keypoints": kps, "num_keypoints": 5,
         })
         ann_id += 1
         annotations.append({
@@ -375,6 +381,72 @@ def test_segm_iou_type_evaluation(synthetic_coco, small_cfg, tmp_path):
     res2 = do_coco_evaluation(ds, preds(False), output_folder=str(tmp_path))
     segm2 = next(v for k, v in res2.items() if k.startswith("segm_") and "50" in k)
     assert segm2 <= segm_ap50 + 1e-6
+
+
+def test_keypoints_iou_type_evaluation(synthetic_coco, small_cfg, tmp_path):
+    """MODEL.KEYPOINT_ON eval: predictions carrying keypoints_xy trigger the
+    OKS COCOeval pass (ref prepare_for_coco_keypoint + COCOeval
+    'keypoints'). Exact keypoints -> OKS 1 -> perfect AP; far-off keypoints
+    -> OKS ~0 -> zero AP. GTs without labeled keypoints are ignored
+    (pycocotools _prepare num_keypoints==0 rule)."""
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=False, transforms=None)
+
+    def preds(offset=0.0):
+        out = []
+        for ep in range(len(ds)):
+            info, cat = ds.get_img_info(ep)
+            anns = ds.coco.loadAnns(ds.coco.getAnnIds(
+                imgIds=ds.id_to_img_map[ep], catIds=cat, iscrowd=False))
+            boxes, kxy, ks = [], [], []
+            for a in anns:
+                x, y, w, h = a["bbox"]
+                boxes.append([x, y, x + max(w - 1, 0), y + max(h - 1, 0)])
+                g = np.asarray(a.get("keypoints", [0.0] * 51), np.float64)
+                xy = np.stack([g[0::3], g[1::3]], axis=1) + offset
+                kxy.append(xy)
+                ks.append(np.ones(17))
+            out.append({
+                "boxes": np.array(boxes, np.float64),
+                "scores": np.linspace(0.9, 0.6, len(boxes)),
+                "input_size": (info["width"], info["height"]),
+                "keypoints_xy": np.stack(kxy),
+                "keypoints_scores": np.stack(ks),
+            })
+        return out
+
+    res = do_coco_evaluation(ds, preds(0.0), output_folder=str(tmp_path))
+    assert any(k.startswith("keypoints_") for k in res)
+    exact = next(v for k, v in res.items()
+                 if k.startswith("keypoints_") and k.endswith("AP50"))
+    assert exact == pytest.approx(1.0)
+    res2 = do_coco_evaluation(ds, preds(500.0), output_folder=str(tmp_path))
+    far = next(v for k, v in res2.items()
+               if k.startswith("keypoints_") and k.endswith("AP50"))
+    assert far == pytest.approx(0.0, abs=1e-6)
+
+
+def test_oks_iou_oracle():
+    """oks_iou against the pycocotools computeOks formula by hand."""
+    from oneshotdet_tpu.data.evaluation.coco_metrics import KP_SIGMAS, oks_iou
+
+    g = [0.0] * 51
+    g[0:3] = [50.0, 50.0, 2.0]   # one visible keypoint (slot 0, sigma 0.026)
+    gt = [{"keypoints": g, "bbox": [0.0, 0.0, 100.0, 100.0], "area": 10000.0}]
+    d = [0.0] * 51
+    d[0:3] = [50.0, 50.0, 1.0]
+    assert oks_iou([{"keypoints": d}], gt)[0, 0] == pytest.approx(1.0)
+    # shifted by dx: oks = exp(-dx^2 / (2 * area * (2*sigma)^2))
+    d2 = list(d)
+    d2[0] = 60.0
+    expect = np.exp(-(10.0 ** 2) / ((2 * KP_SIGMAS[0]) ** 2) / 10000.0 / 2.0)
+    assert oks_iou([{"keypoints": d2}], gt)[0, 0] == pytest.approx(expect)
+    # no visible gt keypoints: falls back to the doubled-bbox distance; a dt
+    # point inside the expanded box contributes exp(0) = 1 at every slot
+    g0 = [0.0] * 51
+    gt0 = [{"keypoints": g0, "bbox": [40.0, 40.0, 20.0, 20.0], "area": 400.0}]
+    d_in = [50.0, 50.0, 1.0] * 17
+    assert oks_iou([{"keypoints": d_in}], gt0)[0, 0] == pytest.approx(1.0)
 
 
 def test_voc_eval_perfect_and_missed():

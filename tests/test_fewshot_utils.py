@@ -109,3 +109,48 @@ def test_try_similar(tiny_coco, tmp_path, monkeypatch):
     for img_id, per_cat in sim[7].items():
         for ann_id, s in per_cat[7].items():
             assert -1.001 <= s <= 1.001
+
+
+@pytest.mark.slow
+def test_feature_dist_close_dict(tiny_coco, tmp_path):
+    """tools/feature_dist.py (ref tools/feature_dist.py): whole-query-image
+    vs support-crop embeddings -> the CHOOSE_CLOSE similarity pickle, which
+    the train dataset then loads and uses for support selection."""
+    _TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+    spec = importlib.util.spec_from_file_location(
+        "feature_dist", os.path.join(_TOOLS, "feature_dist.py"))
+    fd = importlib.util.module_from_spec(spec)
+    sys.modules["feature_dist"] = fd
+    spec.loader.exec_module(fd)
+
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.data.datasets.coco import COCODataset
+
+    ann, img_dir = tiny_coco
+    c = cfg.clone()
+    c.FEW_SHOT.TRAINING_EXCL_CATS = []
+    c.INPUT.SUPP_AREA_THRESHOLD = 100
+    ds = COCODataset(c, ann, img_dir, is_train=True, transforms=None)
+    close = fd.compute_close_dict(ds, c.INPUT.PIXEL_MEAN, size=64, batch=4)
+
+    assert 7 in close
+    for qid, per_cat in close[7].items():
+        ranked = per_cat[7]
+        assert ranked, "every query must see at least one candidate"
+        for ann_id, s in ranked.items():
+            # self-exclusion: a query never ranks its own image's support
+            assert ds.coco.anns[ann_id]["image_id"] != qid
+            assert -1.001 <= s <= 1.001
+
+    # the pickle drives CHOOSE_CLOSE support selection end-to-end
+    pkl = tmp_path / "sim.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(close, f)
+    c2 = c.clone()
+    c2.FEW_SHOT.CHOOSE_CLOSE = True
+    c2.FEW_SHOT.SUPP_SIM_FILE = str(pkl)
+    ds2 = COCODataset(c2, ann, img_dir, is_train=True, transforms=None)
+    assert ds2.close_dict is not None
+    qid = ds2.ids[0]
+    supports = ds2.get_close_item_from_cat(qid, 7, shot=1)
+    assert len(supports) == 1

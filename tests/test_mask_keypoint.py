@@ -141,3 +141,29 @@ def test_project_gt_rasters_identity_and_offset():
     lower = jnp.array([[10.0, 20.0, 30.0, 30.0]])
     out3 = project_gt_rasters(jnp.asarray(raster), gt, lower, s)
     assert float(out3.mean()) < 0.2
+
+
+def test_compute_on_dataset_surfaces_mask_and_keypoints(mask_model):
+    """engine/inference.py: MASK_ON/KEYPOINT_ON eval results must carry
+    mask_probs + keypoints_xy/scores per detection (consumed by the segm and
+    keypoints COCOeval passes, ref coco_eval.py prepare_for_coco_*)."""
+    import numpy as np
+
+    from oneshotdet_tpu.engine.inference import compute_on_dataset
+
+    model, variables, images, supp, _ = mask_model
+    batch = {
+        "query_pixels": np.asarray(images.pixels),
+        "query_sizes": np.asarray(images.sizes),
+        "supp_pixels": np.asarray(supp.pixels),
+        "supp_sizes": np.asarray(supp.sizes),
+        "target_ids": np.array([1]),
+        "idxs": np.array([0]),
+        "img_ids": np.array([0]),
+    }
+    results = compute_on_dataset(model, variables, [batch])
+    r = results[0]
+    n = len(r["boxes"])
+    assert r["mask_probs"].shape[0] == n and r["mask_probs"].ndim == 3
+    assert r["keypoints_xy"].shape == (n, 5, 2)
+    assert r["keypoints_scores"].shape == (n, 5)
