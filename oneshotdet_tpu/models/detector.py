@@ -465,6 +465,36 @@ class GeneralizedRCNN(nn.Module):
             c.pooler_scales, c.pooler_sampling_ratio,
         )
 
+    def _eval_roi_pool(self, features, proposals: Boxes):
+        """Eval-time ROI pooling, optionally with the compress_0 query-half
+        matmul hoisted to full-map cost (ONESHOT_PREPOOL_COMPRESS=1).
+
+        The head's only use of raw pooled query features is the 1x1
+        compress_0 query matmul (roi_head.py _ConcatConv1x1) — a per-channel
+        linear map, which commutes exactly with bilinear ROI pooling. At 16k
+        ROIs x 49 positions that matmul is ~410 GFLOP/batch; on the ~21k
+        full-map positions it is ~44 GFLOP, and the pooled-256 intermediate
+        write+read disappears. The price is pooling 2C channels instead of
+        C. Returns (roi_feats, prepooled_query) — exactly one is non-None.
+        """
+        import os
+
+        c = self.config
+        use_prepool = (
+            os.environ.get("ONESHOT_PREPOOL_COMPRESS") == "1"
+            and not c.linear_fusion
+            and not self.is_initializing()
+        )
+        if not use_prepool:
+            return self._pool_rois(features, proposals, use_pallas=True), None
+        k0 = self.variables["params"]["roi_head"]["compress_0"]["kernel"]
+        ka = jnp.asarray(k0)[0, 0, : c.out_channels].astype(self.dtype)
+        ya_maps = [
+            jnp.einsum("bhwc,cf->bhwf", f.astype(self.dtype), ka)
+            for f in features
+        ]
+        return None, self._pool_rois(ya_maps, proposals, use_pallas=True)
+
     def _pool_rois_at(self, features, boxes: Boxes, resolution: int,
                       scales: Tuple[float, ...], sampling_ratio: int):
         """Pool batched padded Boxes at an arbitrary (resolution, scales) —
@@ -513,17 +543,20 @@ class GeneralizedRCNN(nn.Module):
         r = c.pooler_resolution
         return pooled.reshape(batch_size, shot, r, r, -1)
 
-    def _roi_head_multi_shot(self, roi_feats, supp_7x7, use_pallas=False):
+    def _roi_head_multi_shot(self, roi_feats, supp_7x7, use_pallas=False,
+                             prepooled_query=None):
         """Eval-time multi-support merge (box_head.py:118-124, 241-256):
         run the relation head once per support shot and take the
         element-wise max over class logits; each class slot's box deltas
         follow the winning shot for that slot."""
         shot = supp_7x7.shape[1]
         if shot == 1:
-            return self.roi_head(roi_feats, supp_7x7[:, 0], use_pallas)
+            return self.roi_head(roi_feats, supp_7x7[:, 0], use_pallas,
+                                 prepooled_query)
         logits_all, regs_all = [], []
         for s in range(shot):
-            lg, rg = self.roi_head(roi_feats, supp_7x7[:, s], use_pallas)
+            lg, rg = self.roi_head(roi_feats, supp_7x7[:, s], use_pallas,
+                                   prepooled_query)
             logits_all.append(lg)
             regs_all.append(rg)
         logits = jnp.stack(logits_all)      # (S, N, ncls)
@@ -631,11 +664,12 @@ class GeneralizedRCNN(nn.Module):
             proposals, _ = self.rpn_module(combined, images.sizes_wh())
         if c.rpn_only:
             return proposals
-        roi_feats = self._pool_rois(features, proposals, use_pallas=True)
+        roi_feats, prepooled = self._eval_roi_pool(features, proposals)
         # per-image support: roi_head broadcasts internally (image-major ROIs)
         cls_logits, box_deltas = self._roi_head_multi_shot(
-            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype),
-            use_pallas=True,
+            None if roi_feats is None else roi_feats.astype(self.dtype),
+            supp_7x7.astype(self.dtype),
+            use_pallas=True, prepooled_query=prepooled,
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)
@@ -890,10 +924,11 @@ class GeneralizedRCNN(nn.Module):
 
         # eval: score every proposal against the support; multi-shot
         # supports max-merge (box_head.py:241-256)
-        roi_feats = self._pool_rois(features, proposals, use_pallas=True)
+        roi_feats, prepooled = self._eval_roi_pool(features, proposals)
         cls_logits, box_deltas = self._roi_head_multi_shot(
-            roi_feats.astype(self.dtype), supp_7x7.astype(self.dtype),
-            use_pallas=True,
+            None if roi_feats is None else roi_feats.astype(self.dtype),
+            supp_7x7.astype(self.dtype),
+            use_pallas=True, prepooled_query=prepooled,
         )
         if target_ids is None:
             target_ids = jnp.ones((b,), jnp.int32)

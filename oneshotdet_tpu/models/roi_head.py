@@ -72,21 +72,38 @@ class _ConcatConv1x1(nn.Module):
     and broadcast-added — at 16k ROIs this removes a ~400 MB concat
     materialization and halves the contraction depth of the hot matmul.
     Parameter layout/naming matches nn.Conv so checkpoints are unaffected.
+
+    The halves are separately callable: ``query_half`` (no bias) is what the
+    detector hoists to full-map cost pre-pooling (1x1 conv commutes with
+    bilinear ROI pooling), ``supp_half`` (with bias) stays per-image.
+    ``in_a``/``in_b`` fix the kernel shape so either half can run first.
     """
 
     features: int
+    in_a: int = 256
+    in_b: int = 256
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, a: jnp.ndarray, b: jnp.ndarray):
-        ca, cb = a.shape[-1], b.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.normal(0.01), (1, 1, ca + cb, self.features)
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.normal(0.01),
+            (1, 1, self.in_a + self.in_b, self.features),
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        kernel = kernel.astype(self.dtype)
-        ya = jnp.einsum("...c,cf->...f", a, kernel[0, 0, :ca])
-        yb = jnp.einsum("...c,cf->...f", b, kernel[0, 0, ca:]) + bias.astype(self.dtype)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def query_half(self, a: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel.astype(self.dtype)
+        return jnp.einsum("...c,cf->...f", a, k[0, 0, : self.in_a])
+
+    def supp_half(self, b: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel.astype(self.dtype)
+        return jnp.einsum(
+            "...c,cf->...f", b, k[0, 0, self.in_a:]
+        ) + self.bias.astype(self.dtype)
+
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray):
+        ya = self.query_half(a)
+        yb = self.supp_half(b)
         if b.shape[0] != a.shape[0]:
             reps = a.shape[0] // b.shape[0]
             yb = jnp.broadcast_to(
@@ -113,8 +130,16 @@ class ROIBoxHeadNet(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray, supp_feats: jnp.ndarray,
-                 use_pallas: bool = False):
-        """roi_feats: (N, 7, 7, C). Returns (N, cls), (N, 4*reg)."""
+                 use_pallas: bool = False,
+                 prepooled_query: jnp.ndarray = None):
+        """roi_feats: (N, 7, 7, C). Returns (N, cls), (N, 4*reg).
+
+        ``prepooled_query``: (N, 7, 7, 2C) compress_0 query-half output
+        pooled from pre-compressed feature maps (the detector hoists the
+        1x1 query matmul to full-map cost — it commutes with bilinear ROI
+        pooling). When given, roi_feats is ignored and only the support
+        half + bias is added here.
+        """
         c = self.in_channels
 
         # Fused Pallas path (eval only — forward-only kernel): the whole
@@ -127,6 +152,7 @@ class ROIBoxHeadNet(nn.Module):
         # (B divides N) and a usable block size; falls back to XLA otherwise.
         if (
             use_pallas
+            and prepooled_query is None
             and os.environ.get("ONESHOT_PALLAS_ROI_HEAD") == "1"
             and not self.is_initializing()
             and not self.linear_fusion
@@ -148,8 +174,19 @@ class ROIBoxHeadNet(nn.Module):
                                        per_image=per_image)
 
         if not self.linear_fusion:
-            x = _ConcatConv1x1(2 * c, dtype=self.dtype, name="compress_0")(
-                roi_feats, supp_feats)
+            comp0 = _ConcatConv1x1(2 * c, in_a=c, in_b=c, dtype=self.dtype,
+                                   name="compress_0")
+            if prepooled_query is not None:
+                yb = comp0.supp_half(supp_feats)
+                n = prepooled_query.shape[0]
+                if supp_feats.shape[0] != n:
+                    reps = n // supp_feats.shape[0]
+                    yb = jnp.broadcast_to(
+                        yb[:, None], (supp_feats.shape[0], reps) + yb.shape[1:]
+                    ).reshape((n,) + yb.shape[1:])
+                x = prepooled_query + yb
+            else:
+                x = comp0(roi_feats, supp_feats)
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="compress_gn0")(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(c, (1, 1), dtype=self.dtype,

@@ -62,6 +62,14 @@ def ref_env():
         sys.modules["maskrcnn_benchmark._C"].nms = (
             lambda boxes, scores, thresh: _greedy_nms_torch(boxes, scores, thresh)
         )
+        # consumers bind `from _C import nms as _box_nms` at import time
+        # (structures/boxlist_ops.py:8); rebind in any already-imported one
+        # so this file passes regardless of which parity test ran first
+        for m in list(sys.modules.values()):
+            if getattr(m, "_box_nms", None) is not None and (
+                getattr(m, "__name__", "").startswith("maskrcnn_benchmark")
+            ):
+                m._box_nms = sys.modules["maskrcnn_benchmark._C"].nms
     from maskrcnn_benchmark.config import cfg as ref_cfg
 
     c = ref_cfg.clone()

@@ -79,3 +79,53 @@ def test_reverse_order_consistency_zero_when_identical():
     _, _, rev2 = roi_head_loss(logits, deltas, labels, reg_t, valid, "ce_loss",
                                rev_logits=-logits)
     assert float(rev2) > 0
+
+
+@pytest.mark.slow
+def test_prepool_compress_parity(monkeypatch):
+    """ONESHOT_PREPOOL_COMPRESS=1 hoists the compress_0 query-half 1x1
+    matmul to full-map cost before ROI pooling (models/detector.py
+    _eval_roi_pool). A 1x1 per-channel linear map commutes exactly with
+    bilinear ROI pooling, so eval detections must match the standard path
+    to float tolerance."""
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.structures import ImageBatch
+
+    c = cfg.clone()
+    c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 64
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.FEW_SHOT.SUPP_ROIALIGN = True
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 32
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+
+    model = build_detection_model(c)
+    rng = np.random.RandomState(0)
+    images = ImageBatch(
+        pixels=jnp.asarray(rng.randn(2, 96, 128, 3).astype(np.float32)),
+        sizes=jnp.array([[96.0, 128.0], [96.0, 128.0]]))
+    supp = ImageBatch(
+        pixels=jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32)),
+        sizes=jnp.array([[64.0, 64.0], [64.0, 64.0]]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                           train=False)
+
+    def run():
+        dets = model.apply(variables, images, supp,
+                           target_ids=jnp.array([1, 1]), train=False)
+        return (np.asarray(dets.xyxy), np.asarray(dets.get_field("scores")),
+                np.asarray(dets.valid))
+
+    monkeypatch.delenv("ONESHOT_PREPOOL_COMPRESS", raising=False)
+    base = run()
+    monkeypatch.setenv("ONESHOT_PREPOOL_COMPRESS", "1")
+    fused = run()
+    np.testing.assert_allclose(fused[0], base[0], atol=1e-3)
+    np.testing.assert_allclose(fused[1], base[1], atol=1e-4)
+    np.testing.assert_array_equal(fused[2], base[2])
