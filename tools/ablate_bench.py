@@ -49,6 +49,12 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                                train=False)
     variables = jax.device_put(variables, jax.devices()[0])
 
+    if mode == "prepool":
+        # ONESHOT_PREPOOL_COMPRESS=1: compress_0 query half hoisted onto the
+        # FPN maps pre-pooling (detector._eval_roi_pool); delta vs full =
+        # net effect of trading the per-ROI 1x1 GEMM for 2C-channel pooling
+        os.environ["ONESHOT_PREPOOL_COMPRESS"] = "1"
+
     if mode == "no_gn":
         # measure GroupNorm's total cost: patch GN to identity (NOT
         # semantics-preserving — ablation only; run via --only, the patch
@@ -229,6 +235,9 @@ def main():
     ablations["no_pool"] = (base_cfg(), "no_pool")
     ablations["double_backbone"] = (base_cfg(), "double_backbone")
     ablations["devgen_inputs"] = (base_cfg(), "devgen_inputs")
+    # env-flag variant: run via --only (the flag poisons later ablations
+    # in the same process, like no_gn)
+    ablations["prepool compress"] = (base_cfg(), "prepool")
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")
