@@ -117,11 +117,20 @@ class BatchCollator:
             "idx": np.int64(it["idx"]),
         }
         if "masks" in it:  # MASK_ON: padded per-GT box-normalized rasters
-            s = it["masks"].shape[-1] if len(it["masks"]) else 0
+            # shape[-1] is the raster size S even for a (0, S, S) array from
+            # an all-degenerate-GT item; gating on len() produced a
+            # (max_gt, 0, 0) part that crashed assemble()'s np.stack
+            s = it["masks"].shape[-1]
             gm = np.zeros((self.max_gt, s, s), np.float32)
             if n:
                 gm[:n] = it["masks"][:n]
             out["gt_masks"] = gm
+        if "keypoints" in it:  # KEYPOINT_ON: padded per-GT (K, 3) keypoints
+            k = it["keypoints"].shape[1]
+            gk = np.zeros((self.max_gt, k, 3), np.float32)
+            if n:
+                gk[:n] = it["keypoints"][:n]
+            out["gt_keypoints"] = gk
         return out
 
     @staticmethod
@@ -145,6 +154,8 @@ class BatchCollator:
         }
         if "gt_masks" in parts[0]:  # MASK_ON
             out["gt_masks"] = np.stack([p["gt_masks"] for p in parts])
+        if "gt_keypoints" in parts[0]:  # KEYPOINT_ON
+            out["gt_keypoints"] = np.stack([p["gt_keypoints"] for p in parts])
         return out
 
     def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:

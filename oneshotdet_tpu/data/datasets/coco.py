@@ -313,6 +313,24 @@ class COCODataset:
                 for o in anno
             ]
 
+        # KEYPOINT_ON: carry per-GT (K, 3) COCO keypoints through the same
+        # geometric transforms (ref coco.py target.add_field('keypoints',
+        # PersonKeypoints(...))); PersonKeypoints shares the masks-list
+        # resize/transpose interface, so it rides the transform pipeline as
+        # one extra list element
+        kps = None
+        if self.cfg.MODEL.KEYPOINT_ON:
+            from ...structures.keypoint import PersonKeypoints
+
+            nk = self.cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES
+            raw = np.zeros((len(anno), nk, 3), np.float32)
+            for i, o in enumerate(anno):
+                flat = np.asarray(o.get("keypoints", []), np.float32).reshape(-1)
+                m = min(len(flat) // 3, nk)
+                if m:
+                    raw[i, :m] = flat[: m * 3].reshape(m, 3)
+            kps = PersonKeypoints(raw, img.size)
+
         if self.choose_close:
             img_supp = self.get_close_item_from_cat(img_id, cur_cat, shot=self.shot)
         elif self.choose_selected:
@@ -321,8 +339,16 @@ class COCODataset:
             img_supp = self.get_random_item_from_cat(cur_cat, img_id, shot=self.shot)
 
         if self._transforms is not None:
-            if masks is not None:
-                img, boxes, masks = self._transforms(img, boxes, masks)
+            extras = (list(masks) if masks is not None else []) + (
+                [kps] if kps is not None else []
+            )
+            if extras:
+                img, boxes, extras = self._transforms(img, boxes, extras)
+                if kps is not None:
+                    kps = extras[-1]
+                    extras = extras[:-1]
+                if masks is not None:
+                    masks = extras
             else:
                 img, boxes = self._transforms(img, boxes)
             img_supp = [self._supp_transforms(s, None)[0] for s in img_supp]
@@ -345,6 +371,8 @@ class COCODataset:
                         m.crop(b).resize((s, s)).rasterize(), np.float32
                     )
             item["masks"] = rasters
+        if kps is not None:
+            item["keypoints"] = kps.keypoints  # (N, K, 3), transform-applied
         return item
 
     def get_img_info(self, index):

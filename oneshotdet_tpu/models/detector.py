@@ -345,6 +345,9 @@ class GeneralizedRCNN(nn.Module):
                 positive_fraction=c.rpn_positive_fraction,
                 pre_nms_top_n=c.pre_nms_top_n_test,
                 post_nms_top_n=c.rpn_post_nms_top_n_test,
+                pre_nms_top_n_train=c.pre_nms_top_n_train,
+                post_nms_top_n_train=c.rpn_post_nms_top_n_train,
+                fpn_post_nms_top_n_train=c.fpn_post_nms_top_n_train,
                 fpn_post_nms_top_n=c.fpn_post_nms_top_n_test,
                 nms_thresh=c.rpn_nms_thresh,
                 min_size=c.rpn_min_size,
@@ -791,15 +794,22 @@ class GeneralizedRCNN(nn.Module):
             )
             if c.add_artificial_proposals:
                 # IoU-binned jittered GT boxes lead, then the GTs, then the
-                # scored proposals, capped at 1000 slots
+                # scored proposals, capped at 1000 REAL boxes — compaction
+                # first, because the reference's proposal[:1000] counts real
+                # boxes, not padded capacity slots
                 # (generalized_rcnn.py:106-204; toggle inference.py:273-279)
-                from .roi_head import make_artificial_proposals, truncate_boxes
+                from .roi_head import (
+                    compact_boxes, make_artificial_proposals, truncate_boxes,
+                )
 
                 art = make_artificial_proposals(
                     jax.random.fold_in(rng, 3), gt_as_props
                 )
                 proposals = truncate_boxes(
-                    cat_boxes(cat_boxes(art, gt_as_props), proposals), 1000
+                    compact_boxes(
+                        cat_boxes(cat_boxes(art, gt_as_props), proposals)
+                    ),
+                    1000,
                 )
             else:
                 proposals = cat_boxes(proposals, gt_as_props)

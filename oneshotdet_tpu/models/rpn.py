@@ -50,7 +50,7 @@ class RPNHead(nn.Module):
 
 def rpn_targets(
     anchors: jnp.ndarray,        # (N, 4) all levels concatenated
-    visibility: jnp.ndarray,     # (N,) bool
+    visibility: jnp.ndarray,     # (B, N) bool — per-image straddle mask
     gt_xyxy: jnp.ndarray,        # (B, G, 4)
     gt_valid: jnp.ndarray,       # (B, G)
     box_coder: BoxCoder,
@@ -62,18 +62,18 @@ def rpn_targets(
     labels: 1 fg, 0 bg, -1 discard (between thresholds or invisible).
     """
 
-    def per_image(gt, gtv):
+    def per_image(gt, gtv, vis):
         iou = masked_box_iou(gt, gtv, anchors, jnp.ones(anchors.shape[0], bool))
         matched = match_boxes(iou, gtv, fg_iou, bg_iou, allow_low_quality_matches=True)
         labels = (matched >= 0).astype(jnp.int32)
         labels = jnp.where(matched == BELOW_LOW_THRESHOLD, 0, labels)
         labels = jnp.where((matched < 0) & (matched != BELOW_LOW_THRESHOLD), -1, labels)
-        labels = jnp.where(visibility, labels, -1)  # discard straddling anchors
+        labels = jnp.where(vis, labels, -1)  # discard straddling anchors
         matched_gt = jnp.take(gt, jnp.maximum(matched, 0), axis=0)
         reg = box_coder.encode(matched_gt, anchors)
         return labels, reg
 
-    return jax.vmap(per_image)(gt_xyxy, gt_valid)
+    return jax.vmap(per_image)(gt_xyxy, gt_valid, visibility)
 
 
 def rpn_losses(
@@ -201,9 +201,12 @@ class RPNModule(nn.Module):
     bg_iou: float = 0.3
     batch_per_image: int = 256
     positive_fraction: float = 0.5
-    pre_nms_top_n: int = 2000
-    post_nms_top_n: int = 2000
-    fpn_post_nms_top_n: int = 2000
+    pre_nms_top_n: int = 2000        # test-time capacities (rpn.py:128-141
+    post_nms_top_n: int = 2000       # builds a train/test postprocessor
+    fpn_post_nms_top_n: int = 2000   # pair; __call__ picks by `train`)
+    pre_nms_top_n_train: int = 12000
+    post_nms_top_n_train: int = 4000
+    fpn_post_nms_top_n_train: int = 4000
     nms_thresh: float = 0.7
     min_size: float = 0.0
     dtype: Any = jnp.float32
@@ -227,9 +230,11 @@ class RPNModule(nn.Module):
         losses = {}
         if train:
             anchors_all = jnp.concatenate(anchors_per_level, axis=0)
-            vis = self.generator.visibility(
-                anchors_all, (image_sizes_wh[0, 0], image_sizes_wh[0, 1])
-            )
+            # per-image straddle masks (the reference computes visibility per
+            # BoxList, anchor_generator.py add_visibility_to)
+            vis = jax.vmap(
+                lambda wh: self.generator.visibility(anchors_all, (wh[0], wh[1]))
+            )(image_sizes_wh)
             labels, reg_t = rpn_targets(
                 anchors_all, vis, targets.xyxy, targets.valid, self.box_coder,
                 self.fg_iou, self.bg_iou,
@@ -247,7 +252,10 @@ class RPNModule(nn.Module):
             [jax.lax.stop_gradient(o) for o in objectness],
             [jax.lax.stop_gradient(r) for r in box_reg],
             image_sizes_wh, self.box_coder,
-            self.pre_nms_top_n, self.post_nms_top_n, self.nms_thresh,
-            self.fpn_post_nms_top_n, self.min_size,
+            self.pre_nms_top_n_train if train else self.pre_nms_top_n,
+            self.post_nms_top_n_train if train else self.post_nms_top_n,
+            self.nms_thresh,
+            self.fpn_post_nms_top_n_train if train else self.fpn_post_nms_top_n,
+            self.min_size,
         )
         return proposals, losses

@@ -90,6 +90,17 @@ def iou_loss(
     weight: (N,) — the reference passes centerness targets; padded slots get 0.
     Returns weighted mean: (loss * w).sum() / w.sum().
     """
+    if weight is not None:
+        # Sanitize INPUTS for zero-weight rows, not just the loss output:
+        # masking the output still back-propagates a 0 cotangent through
+        # d(-log x)/dx, which is inf for garbage rows crossing 0, and
+        # 0 * inf = NaN contaminates shared-conv grads. With pred = target
+        # = 1 the row's loss is exactly 0 with finite gradients, and
+        # where()'s VJP routes no gradient to the real inputs there.
+        safe = (weight > 0)[..., None]
+        pred_ltrb = jnp.where(safe, pred_ltrb, 1.0)
+        target_ltrb = jnp.where(safe, target_ltrb, 1.0)
+
     pl, pt, pr, pb = (pred_ltrb[..., i] for i in range(4))
     tl, tt, tr, tb = (target_ltrb[..., i] for i in range(4))
 

@@ -617,3 +617,57 @@ def test_loader_is_reiterable(synthetic_coco, small_cfg):
         second_pass = [b["idxs"].tolist() for b in loader]
         assert len(first_pass) == len(second_pass) == 3, use_procs
         assert first_pass == second_pass, use_procs
+
+
+def test_mask_collate_all_degenerate_gt(synthetic_coco, small_cfg):
+    """A MASK_ON item whose GT boxes were all dropped yields (0, S, S)
+    masks; the collator must still produce a (max_gt, S, S) part so
+    assemble()'s np.stack doesn't crash (ADVICE r2 medium)."""
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.MODEL.MASK_ON = True
+    c.TPU.MASK_RASTER = 12
+    transforms = build_transforms(c, is_train=True)
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=transforms)
+    item = ds[0]
+    degenerate = dict(item)
+    degenerate["boxes"] = item["boxes"][:0]
+    degenerate["labels"] = item["labels"][:0]
+    degenerate["masks"] = item["masks"][:0]  # (0, 12, 12)
+    coll = BatchCollator(c)
+    batch = coll([item, degenerate])
+    assert batch["gt_masks"].shape == (2, 4, 12, 12)
+    assert not batch["gt_valid"][1].any()
+
+
+def test_keypoint_on_dataset_and_collator(synthetic_coco, small_cfg):
+    """MODEL.KEYPOINT_ON: the dataset carries per-GT (K, 3) keypoints
+    through the geometric transforms and the collator pads/stacks them to
+    gt_keypoints — the training path the reference wires via
+    PersonKeypoints target fields (ref coco.py / roi_heads)."""
+    ann_file, img_dir = synthetic_coco
+    c = small_cfg.clone()
+    c.MODEL.KEYPOINT_ON = True
+    transforms = build_transforms(c, is_train=False)  # no flip: deterministic
+    ds = COCODataset(c, ann_file, img_dir, is_train=True, transforms=transforms)
+    item = ds[0]
+    assert "keypoints" in item
+    n, k, three = item["keypoints"].shape
+    assert (n, k, three) == (len(item["boxes"]), 17, 3)
+    # visible keypoints were resized along with the image: they stay inside
+    vis = item["keypoints"][..., 2] > 0
+    if vis.any():
+        xs = item["keypoints"][..., 0][vis]
+        assert (xs >= 0).all() and (xs <= item["img"].shape[1]).all()
+    coll = BatchCollator(c)
+    batch = coll([item, ds[1]])
+    assert batch["gt_keypoints"].shape == (2, 4, 17, 3)
+    # batch_to_inputs must surface them as a target field for the trainer
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.engine.trainer import batch_to_inputs
+
+    jb = {kk: jnp.asarray(v) for kk, v in batch.items()
+          if kk not in ("img_ids", "idxs")}
+    _, _, targets = batch_to_inputs(jb)
+    assert targets.get_field("keypoints").shape == (2, 4, 17, 3)

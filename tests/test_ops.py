@@ -271,3 +271,21 @@ def test_roi_align_is_differentiable():
     g = jax.grad(f)(feat)
     assert g.shape == feat.shape
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_iou_loss_gradients_finite_with_garbage_padding():
+    """Zero-weight rows holding garbage (negative distances -> -log of a
+    value crossing 0) must not contaminate gradients: 0-cotangent * inf
+    local derivative = NaN unless the INPUTS are sanitized (ADVICE r2)."""
+    pred = jnp.array([[5.0, 5.0, 5.0, 5.0],
+                      [-3.0, -7.0, 2.0, -1.0]])    # garbage padded row
+    target = jnp.array([[4.0, 6.0, 5.0, 5.0],
+                        [-2.0, -2.0, -2.0, -2.0]])
+    w = jnp.array([1.0, 0.0])
+    for lt in ("iou", "linear_iou", "giou"):
+        val, grad = jax.value_and_grad(
+            lambda p: iou_loss(p, target, w, lt))(pred)
+        assert np.isfinite(float(val)), lt
+        assert np.isfinite(np.asarray(grad)).all(), lt
+        # the padded row receives exactly zero gradient
+        assert np.abs(np.asarray(grad[1])).max() == 0.0, lt

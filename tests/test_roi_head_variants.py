@@ -129,3 +129,58 @@ def test_prepool_compress_parity(monkeypatch):
     np.testing.assert_allclose(fused[0], base[0], atol=1e-3)
     np.testing.assert_allclose(fused[1], base[1], atol=1e-4)
     np.testing.assert_array_equal(fused[2], base[2])
+
+
+def test_compact_boxes_valid_first_stable():
+    from oneshotdet_tpu.models.roi_head import compact_boxes, truncate_boxes
+    from oneshotdet_tpu.structures import Boxes
+
+    xyxy = jnp.arange(6 * 4, dtype=jnp.float32).reshape(1, 6, 4)
+    valid = jnp.array([[False, True, False, True, True, False]])
+    scores = jnp.arange(6, dtype=jnp.float32)[None]
+    b = Boxes(xyxy=xyxy, valid=valid, size=jnp.array([[64.0, 64.0]]),
+              fields={"scores": scores})
+    c = compact_boxes(b)
+    # valid rows 1,3,4 first (order preserved), then invalid 0,2,5
+    np.testing.assert_array_equal(np.asarray(c.valid[0]),
+                                  [True, True, True, False, False, False])
+    np.testing.assert_allclose(np.asarray(c.xyxy[0, :3]),
+                               np.asarray(xyxy[0, [1, 3, 4]]))
+    np.testing.assert_allclose(np.asarray(c.fields["scores"][0, :3]),
+                               [1.0, 3.0, 4.0])
+    # truncation after compaction keeps REAL boxes (the reference's
+    # proposal[:1000] counts real boxes, generalized_rcnn.py:202)
+    t = truncate_boxes(c, 3)
+    assert int(t.valid.sum()) == 3
+
+
+def test_artificial_proposals_cap_counts_real_boxes():
+    """With few GTs the artificial block is mostly invalid padding; the
+    1000-cap must not let that padding crowd out real scored proposals
+    (ADVICE r2 medium)."""
+    from oneshotdet_tpu.models.roi_head import (
+        compact_boxes, make_artificial_proposals, truncate_boxes,
+    )
+    from oneshotdet_tpu.structures import Boxes, cat_boxes
+
+    g = 64  # max_gt capacity, only 2 real GTs
+    gt = Boxes(
+        xyxy=jnp.tile(jnp.array([[[8.0, 8.0, 40.0, 40.0]]]), (1, g, 1)),
+        valid=jnp.arange(g)[None] < 2,
+        size=jnp.array([[128.0, 128.0]]),
+        fields={"scores": jnp.ones((1, g)), "objectness": jnp.ones((1, g))},
+    )
+    props = Boxes(
+        xyxy=jnp.tile(jnp.array([[[1.0, 1.0, 20.0, 20.0]]]), (1, 900, 1)),
+        valid=jnp.ones((1, 900), bool),
+        size=jnp.array([[128.0, 128.0]]),
+        fields={"scores": jnp.full((1, 900), 0.5),
+                "objectness": jnp.full((1, 900), 0.5)},
+    )
+    art = make_artificial_proposals(jax.random.PRNGKey(0), gt)
+    merged = truncate_boxes(compact_boxes(cat_boxes(cat_boxes(art, gt), props)), 1000)
+    # artificial block capacity is g*12=768, but only ~2*12 real jitters;
+    # nearly all 900 scored proposals must survive the cap
+    n_art_valid = int(art.valid.sum())
+    assert n_art_valid <= 2 * 12
+    assert int(merged.valid.sum()) >= 900  # pre-fix this was ~1000-768=232

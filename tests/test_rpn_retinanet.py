@@ -57,7 +57,11 @@ def _targets(b=2):
 
 
 def test_rpn_module_train_and_eval(pyramid):
-    m = RPNModule(pre_nms_top_n=64, post_nms_top_n=32, fpn_post_nms_top_n=32)
+    # train/test capacity split: the reference builds a train/test
+    # postprocessor pair (rpn.py:128-141); __call__ picks by `train`
+    m = RPNModule(pre_nms_top_n=64, post_nms_top_n=32, fpn_post_nms_top_n=32,
+                  pre_nms_top_n_train=64, post_nms_top_n_train=48,
+                  fpn_post_nms_top_n_train=48)
     sizes = jnp.tile(jnp.array([[64.0, 64.0]]), (2, 1))
     v = m.init(jax.random.PRNGKey(0), pyramid, sizes, _targets(), train=True,
                rng=jax.random.PRNGKey(1))
@@ -65,10 +69,36 @@ def test_rpn_module_train_and_eval(pyramid):
                             rng=jax.random.PRNGKey(2))
     assert set(losses) == {"loss_objectness", "loss_rpn_box_reg"}
     assert all(np.isfinite(float(x)) for x in losses.values())
-    assert props.xyxy.shape[1] == 32
+    assert props.xyxy.shape[1] == 48  # TRAIN capacities, not test's 32
     props, losses = m.apply(v, pyramid, sizes, train=False)
     assert losses == {}
+    assert props.xyxy.shape[1] == 32
     assert bool(props.valid.any())
+
+
+def test_rpn_per_image_visibility(pyramid):
+    """Anchor straddle masks are computed per image (ref anchor_generator
+    add_visibility_to runs per BoxList), not from image 0's size."""
+    m = RPNModule(pre_nms_top_n=64, post_nms_top_n=32, fpn_post_nms_top_n=32,
+                  pre_nms_top_n_train=64, post_nms_top_n_train=32,
+                  fpn_post_nms_top_n_train=32)
+    # image 1 much smaller than image 0: more anchors straddle -> must not
+    # inherit image 0's (permissive) mask
+    sizes = jnp.array([[64.0, 64.0], [16.0, 16.0]])
+    v = m.init(jax.random.PRNGKey(0), pyramid, sizes, _targets(), train=True,
+               rng=jax.random.PRNGKey(1))
+    _, losses = m.apply(v, pyramid, sizes, _targets(), train=True,
+                        rng=jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(x)) for x in losses.values())
+    # direct check on the vmapped mask
+    from oneshotdet_tpu.models.anchor_generator import AnchorGenerator
+
+    gen = AnchorGenerator(m.anchor_sizes, m.aspect_ratios, m.anchor_strides,
+                          m.straddle_thresh)
+    shapes = [(f.shape[1], f.shape[2]) for f in pyramid]
+    anchors = jnp.concatenate(gen.grid_anchors(shapes), axis=0)
+    vis = jax.vmap(lambda wh: gen.visibility(anchors, (wh[0], wh[1])))(sizes)
+    assert int(vis[1].sum()) < int(vis[0].sum())
 
 
 def test_retinanet_module_train_and_eval(pyramid):
