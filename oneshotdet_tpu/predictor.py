@@ -94,12 +94,17 @@ class OneShotPredictor:
             self.variables, batch, supp_pooled, supp_7x7,
             method=lambda m, b, p, s: m.detect_with_support(b, p, s),
         )
-        return dets.xyxy[0], dets.get_field("scores")[0], dets.valid[0]
+        out = (dets.xyxy[0], dets.get_field("scores")[0], dets.valid[0])
+        if self.cfg.MODEL.MASK_ON:  # box-normalized fg-mask probs per det
+            out = out + (dets.get_field("mask_probs")[0],)
+        return out
 
-    def run_on_image(self, image_rgb_u8: np.ndarray):
+    def run_on_image(self, image_rgb_u8: np.ndarray, return_masks: bool = False):
         """Detect the cached support class in one frame.
 
-        Returns (boxes_xyxy, scores) in the ORIGINAL image coordinates.
+        Returns (boxes_xyxy, scores) in the ORIGINAL image coordinates —
+        plus per-detection box-normalized mask probability grids when
+        ``return_masks`` (requires MODEL.MASK_ON).
         """
         assert self._supp_cache is not None, "call set_support() first"
         h0, w0 = image_rgb_u8.shape[:2]
@@ -111,16 +116,19 @@ class OneShotPredictor:
             jnp.asarray(np.ascontiguousarray(image_rgb_u8)), (oh, ow), self.query_bucket
         )
         supp_pooled, supp_7x7 = self._supp_cache
-        boxes, scores, valid = self._predict_fn(
+        out = self._predict_fn(
             padded, jnp.array([oh, ow], jnp.float32), supp_pooled, supp_7x7, (oh, ow)
         )
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
-        valid = np.asarray(valid) & (scores > self.confidence_threshold)
+        boxes, scores, valid = (np.asarray(x) for x in out[:3])
+        masks = np.asarray(out[3]) if len(out) > 3 else None
+        valid = valid & (scores > self.confidence_threshold)
         boxes = boxes[valid]
         scores = scores[valid]
         # rescale back to the original frame
         boxes = boxes * np.array([w0 / ow, h0 / oh, w0 / ow, h0 / oh])
+        if return_masks:
+            assert masks is not None, "return_masks requires MODEL.MASK_ON"
+            return boxes, scores, masks[valid]
         return boxes, scores
 
     # -- annotated-frame API (COCODemo.run_on_opencv_image, predictor.py:162) --
@@ -150,13 +158,52 @@ class OneShotPredictor:
                       f"{label}: {score:.2f}", fill=color)
         return np.asarray(img)
 
+    def overlay_mask_contours(self, image_rgb_u8: np.ndarray, boxes: np.ndarray,
+                              mask_probs: np.ndarray, color=(40, 255, 80),
+                              thresh: float = 0.5) -> np.ndarray:
+        """Draw mask contours (reference overlay_mask, predictor.py:288-305
+        + utils/cv2_util.findContours) — cv2-free: paste each detection's
+        box-normalized mask grid into its box, threshold, and mark the
+        boundary (mask minus its 4-neighbour erosion), dilated one pixel."""
+        from PIL import Image
+
+        out = image_rgb_u8.copy()
+        h, w = out.shape[:2]
+        for box, mp in zip(boxes, mask_probs):
+            x1 = max(int(round(float(box[0]))), 0)
+            y1 = max(int(round(float(box[1]))), 0)
+            x2 = min(int(round(float(box[2]))), w - 1)
+            y2 = min(int(round(float(box[3]))), h - 1)
+            bw, bh = x2 - x1 + 1, y2 - y1 + 1
+            if bw <= 2 or bh <= 2:
+                continue
+            grid = Image.fromarray(
+                (np.asarray(mp, np.float32) * 255).astype(np.uint8)
+            ).resize((bw, bh), Image.BILINEAR)
+            m = np.asarray(grid, np.float32) / 255.0 >= thresh
+            er = m.copy()
+            er[1:] &= m[:-1]; er[:-1] &= m[1:]
+            er[:, 1:] &= m[:, :-1]; er[:, :-1] &= m[:, 1:]
+            edge = m & ~er
+            thick = edge.copy()
+            thick[1:] |= edge[:-1]; thick[:-1] |= edge[1:]
+            thick[:, 1:] |= edge[:, :-1]; thick[:, :-1] |= edge[:, 1:]
+            region = out[y1:y2 + 1, x1:x2 + 1]
+            region[thick] = color
+        return out
+
     def run_on_opencv_image(self, image_bgr_u8: np.ndarray) -> np.ndarray:
         """BGR frame in -> annotated BGR frame out — the reference's demo
         entry point (predictor.py:162-185), fixed for the Siamese model
         (the reference's calls model(image_list) single-arg and cannot run
         the one-shot forward, SURVEY §3.4)."""
         rgb = np.ascontiguousarray(image_bgr_u8[:, :, ::-1])
-        boxes, scores = self.run_on_image(rgb)
-        out = self.overlay_boxes(rgb, boxes)
+        if self.cfg.MODEL.MASK_ON:
+            boxes, scores, masks = self.run_on_image(rgb, return_masks=True)
+            out = self.overlay_mask_contours(rgb, boxes, masks)
+        else:
+            boxes, scores = self.run_on_image(rgb)
+            out = rgb
+        out = self.overlay_boxes(out, boxes)
         out = self.overlay_scores(out, boxes, scores)
         return np.ascontiguousarray(out[:, :, ::-1])

@@ -66,3 +66,60 @@ def test_support_cache_required(predictor):
     fresh = OneShotPredictor(predictor.cfg, predictor.variables)
     with pytest.raises(AssertionError):
         fresh.run_on_image(np.zeros((64, 64, 3), np.uint8))
+
+
+def test_mask_contour_overlay_unit():
+    """overlay_mask_contours draws a closed boundary strictly inside the
+    box (reference overlay_mask contour draw, predictor.py:288-305)."""
+    img = np.zeros((60, 80, 3), np.uint8)
+    # a circular-ish mask prob grid
+    yy, xx = np.mgrid[0:28, 0:28]
+    mp = (((yy - 14) ** 2 + (xx - 14) ** 2) < 100).astype(np.float32)
+    dummy = OneShotPredictor.__new__(OneShotPredictor)  # no model needed
+    out = OneShotPredictor.overlay_mask_contours(
+        dummy, img, np.array([[10.0, 10.0, 50.0, 50.0]]), mp[None])
+    green = (out == np.array([40, 255, 80])).all(-1)
+    assert green.any()
+    ys, xs = np.nonzero(green)
+    assert ys.min() >= 10 and ys.max() <= 50
+    assert xs.min() >= 10 and xs.max() <= 50
+    # it's a ring, not a filled disk: the center pixel stays black
+    assert not green[30, 30]
+
+
+def test_mask_on_predictor_returns_masks():
+    """MODEL.MASK_ON: run_on_image(return_masks=True) yields per-detection
+    mask grids and run_on_opencv_image draws contours."""
+    c = cfg.clone()
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 50
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 4
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.TPU.QUERY_BUCKETS = ((96, 128),)
+    c.TPU.SUPP_BUCKET = (64, 64)
+    c.INPUT.MIN_SIZE_TEST = 64
+    c.INPUT.MAX_SIZE_TEST = 96
+    c.INPUT.SUPP_MIN_SIZE_TEST = 32
+    c.INPUT.SUPP_MAX_SIZE_TEST = 48
+    c.TPU.HOST_S2D = False
+    c.MODEL.MASK_ON = True
+
+    model = build_detection_model(c)
+    small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                       sizes=jnp.array([[64.0, 64.0]]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                           train=False)
+    p = OneShotPredictor(c, variables, confidence_threshold=-1.0)
+    rng = np.random.RandomState(2)
+    p.set_support(rng.randint(0, 255, (40, 40, 3), np.uint8))
+    frame = rng.randint(0, 255, (100, 150, 3), np.uint8)
+    boxes, scores, masks = p.run_on_image(frame, return_masks=True)
+    assert masks.shape[0] == boxes.shape[0]
+    assert masks.ndim == 3 and masks.shape[1] == masks.shape[2]
+    out = p.run_on_opencv_image(np.ascontiguousarray(frame[:, :, ::-1]))
+    assert out.shape == frame.shape
