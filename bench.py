@@ -52,6 +52,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--mode", default="all",
                    choices=["all", "eval", "train", "latency", "eval_cached"])
+    p.add_argument("--roi-topk", type=int, default=0,
+                   help="TPU.EVAL_ROI_TOPK: keep only top-K stage-1 "
+                        "proposals for stage 2 (opt-in workload cut)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu' for smoke runs; "
                         "env vars are too late once sitecustomize imports jax)")
@@ -84,6 +87,7 @@ def main():
     c.FEW_SHOT.SUPP_ROIALIGN = True
     c.TPU.COMPUTE_DTYPE = args.dtype
     c.TPU.HOST_S2D = True
+    c.TPU.EVAL_ROI_TOPK = args.roi_topk
 
     qh, qw = args.query_hw
     sh, sw = args.supp_hw

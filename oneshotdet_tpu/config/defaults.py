@@ -334,6 +334,7 @@ _C.TPU.PROPOSALS_PER_IMAGE_TRAIN = 512  # padded stage-1 → stage-2 capacity (t
 _C.TPU.PROPOSALS_PER_IMAGE_TEST = 2000  # = RPN.FPN_POST_NMS_TOP_N_TEST
 _C.TPU.NMS_PRE_TOPK = 4096             # per-image cross-level candidate cap fed to NMS
 _C.TPU.STRICT_LEVEL_TOPK = False       # True = reference's per-level pre-NMS top-k (slower, bit-parity)
+_C.TPU.EVAL_ROI_TOPK = 0               # >0: keep only top-K proposals for stage 2 at eval (opt-in workload cut)
 _C.TPU.HOST_S2D = False                # input pipeline emits 2x2-blocked (H/2,W/2,12) pixels for the stem
 _C.TPU.MESH_AXES = ("data",)
 _C.TPU.REMAT_BACKBONE = False           # jax.checkpoint over ResNet stages

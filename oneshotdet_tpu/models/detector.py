@@ -130,6 +130,11 @@ class DetectorConfig:
     roi_score_thresh: float = 0.0
     roi_nms_thresh: float = 0.5
     roi_detections_per_img: int = 2000
+    # opt-in eval proposal compaction: keep only the top-K stage-1 proposals
+    # (already score-sorted post-NMS) before ROIAlign + the ROI head; 0 = off
+    # (TPU.EVAL_ROI_TOPK — the reference's own cap chain stops at
+    # FPN_POST_NMS_TOP_N_TEST=2000, rpn/fcos/inference.py:289-323)
+    eval_roi_topk: int = 0
     # mask / keypoint heads (MODEL.MASK_ON / KEYPOINT_ON,
     # ref roi_heads/roi_heads.py:29-55)
     mask_on: bool = False
@@ -239,6 +244,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         roi_score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
         roi_nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
         roi_detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+        eval_roi_topk=cfg.TPU.EVAL_ROI_TOPK,
         mask_on=cfg.MODEL.MASK_ON,
         keypoint_on=cfg.MODEL.KEYPOINT_ON,
         mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
@@ -468,6 +474,21 @@ class GeneralizedRCNN(nn.Module):
             c.pooler_scales, c.pooler_sampling_ratio,
         )
 
+    def _compact_eval_proposals(self, proposals: Boxes) -> Boxes:
+        """Opt-in stage-2 workload cut (TPU.EVAL_ROI_TOPK): keep only the
+        top-K proposals before ROIAlign + the ROI head. Stage-1 postprocess
+        outputs are score-sorted descending (final lax.top_k), so this is a
+        static truncate of the lowest-ranked / padded slots. 2000 ROIs/img at
+        ~63 MFLOP/ROI dominate eval (~30 of 67 ms incl. pooling); drift vs
+        the full capacity is measured by tests/test_roi_compaction.py and
+        tools/ablate_bench.py."""
+        k = self.config.eval_roi_topk
+        if k and k < proposals.capacity:
+            from .roi_head import truncate_boxes
+
+            return truncate_boxes(proposals, k)
+        return proposals
+
     def _eval_roi_pool(self, features, proposals: Boxes):
         """Eval-time ROI pooling, optionally with the compress_0 query-half
         matmul hoisted to full-map cost (ONESHOT_PREPOOL_COMPRESS=1).
@@ -667,6 +688,7 @@ class GeneralizedRCNN(nn.Module):
             proposals, _ = self.rpn_module(combined, images.sizes_wh())
         if c.rpn_only:
             return proposals
+        proposals = self._compact_eval_proposals(proposals)
         roi_feats, prepooled = self._eval_roi_pool(features, proposals)
         # per-image support: roi_head broadcasts internally (image-major ROIs)
         cls_logits, box_deltas = self._roi_head_multi_shot(
@@ -934,6 +956,7 @@ class GeneralizedRCNN(nn.Module):
 
         # eval: score every proposal against the support; multi-shot
         # supports max-merge (box_head.py:241-256)
+        proposals = self._compact_eval_proposals(proposals)
         roi_feats, prepooled = self._eval_roi_pool(features, proposals)
         cls_logits, box_deltas = self._roi_head_multi_shot(
             None if roi_feats is None else roi_feats.astype(self.dtype),
