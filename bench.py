@@ -55,6 +55,9 @@ def main():
     p.add_argument("--roi-topk", type=int, default=0,
                    help="TPU.EVAL_ROI_TOPK: keep only top-K stage-1 "
                         "proposals for stage 2 (opt-in workload cut)")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="TPU.QUANT: int8 conv stack (backbone/FPN/towers); "
+                        "v5e int8 MXU is ~2x bf16 peak")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu' for smoke runs; "
                         "env vars are too late once sitecustomize imports jax)")
@@ -88,6 +91,7 @@ def main():
     c.TPU.COMPUTE_DTYPE = args.dtype
     c.TPU.HOST_S2D = True
     c.TPU.EVAL_ROI_TOPK = args.roi_topk
+    c.TPU.QUANT = args.quant
 
     qh, qw = args.query_hw
     sh, sw = args.supp_hw
@@ -188,8 +192,9 @@ def main():
     img_per_sec = b * args.iters / dt
     ms_per_img = 1000.0 * dt / (b * args.iters)
     print(f"{ms_per_img:.2f} ms/image, batch {b}", file=sys.stderr, flush=True)
+    variant = "" if args.quant == "none" else f"_{args.quant}"
     rec = {
-        "metric": "oneshot_eval_images_per_sec_per_chip",
+        "metric": f"oneshot_eval{variant}_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
@@ -236,7 +241,13 @@ def _run_secondaries(args):
     import subprocess
 
     extra = {}
-    for mode in ("eval_cached", "latency", "train"):
+    secondaries = (
+        ("eval_cached", []),
+        ("eval", ["--quant", "int8"]),  # int8 conv-stack variant (TPU.QUANT)
+        ("latency", []),
+        ("train", []),
+    )
+    for mode, extra_cli in secondaries:
         elapsed = time.time() - _START
         remaining = SECONDARY_BUDGET_S - elapsed
         if remaining < 60:
@@ -246,8 +257,8 @@ def _run_secondaries(args):
             continue
         try:
             proc = subprocess.Popen(
-                [sys.executable, __file__, "--mode", mode,
-                 "--batch", str(args.batch),
+                [sys.executable, __file__, "--mode", mode] + extra_cli +
+                ["--batch", str(args.batch),
                  "--iters", str(args.iters), "--warmup", str(args.warmup),
                  "--query-hw", str(args.query_hw[0]), str(args.query_hw[1]),
                  "--supp-hw", str(args.supp_hw[0]), str(args.supp_hw[1]),

@@ -338,5 +338,8 @@ _C.TPU.EVAL_ROI_TOPK = 0               # >0: keep only top-K proposals for stage
 _C.TPU.HOST_S2D = False                # input pipeline emits 2x2-blocked (H/2,W/2,12) pixels for the stem
 _C.TPU.MESH_AXES = ("data",)
 _C.TPU.REMAT_BACKBONE = False           # jax.checkpoint over ResNet stages
+# "int8": dynamic-activation / static-weight int8 conv stack (backbone, FPN,
+# FCOS towers) for eval — v5e int8 MXU is ~2x bf16 (ops/quant.py).
+_C.TPU.QUANT = "none"
 
 cfg = _C

@@ -160,6 +160,7 @@ class DetectorConfig:
     supp_roialign: bool = True
     max_gt: int = 64
     remat_backbone: bool = False
+    quant: str = "none"  # TPU.QUANT: int8 conv stack (backbone/FPN/towers)
     soft_labeling: bool = False
     soft_labeling_func: str = "linear"
     reverse_order: bool = False
@@ -269,6 +270,7 @@ def detector_config_from_cfg(cfg) -> DetectorConfig:
         supp_roialign=cfg.FEW_SHOT.SUPP_ROIALIGN,
         max_gt=cfg.TPU.MAX_GT_BOXES,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
+        quant=cfg.TPU.QUANT,
         soft_labeling=cfg.FEW_SHOT.SOFT_LABELING,
         soft_labeling_func=cfg.FEW_SHOT.SOFT_LABELING_FUNC,
         reverse_order=cfg.FEW_SHOT.REVERSE_ORDER,
@@ -298,12 +300,14 @@ class GeneralizedRCNN(nn.Module):
         backbone_cls = nn.remat(ResNetFPN) if c.remat_backbone else ResNetFPN
         self.backbone = backbone_cls(
             depth=c.depth, out_channels=c.out_channels,
-            use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="backbone",
+            use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, quant=c.quant,
+            name="backbone",
         )
         if c.siamese_backbone:
             self.supp_backbone = backbone_cls(
                 depth=c.depth, out_channels=c.out_channels,
-                use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, name="supp_backbone",
+                use_c5_for_p6=c.use_c5_for_p6, dtype=self.dtype, quant=c.quant,
+                name="supp_backbone",
             )
         if c.supp_aug and c.supp_aug_method == "conv":
             # 3x3 conv merging the aug variants' channels (ref :75-80)
@@ -316,7 +320,7 @@ class GeneralizedRCNN(nn.Module):
             self.fcos_head = FCOSHead(
                 num_convs=c.num_convs, num_classes=1, prior_prob=c.prior_prob,
                 num_levels=len(c.fpn_strides), dense_points=c.dense_points,
-                dtype=self.dtype, name="fcos_head",
+                dtype=self.dtype, quant=c.quant, name="fcos_head",
             )
         elif c.stage1 == "retinanet":
             from .retinanet import RetinaNetModule
@@ -367,7 +371,7 @@ class GeneralizedRCNN(nn.Module):
                 in_channels=c.out_channels, resolution=c.pooler_resolution,
                 representation_size=c.mlp_head_dim, num_classes=ncls,
                 num_bbox_reg=nreg, linear_fusion=c.linear_fusion,
-                dtype=self.dtype, name="roi_head",
+                dtype=self.dtype, quant=c.quant, name="roi_head",
             )
             # optional mask / keypoint heads (MODEL.MASK_ON / KEYPOINT_ON,
             # CombinedROIHeads in the reference, roi_heads.py:29-55)
@@ -720,6 +724,10 @@ class GeneralizedRCNN(nn.Module):
     ):
         """Returns a dict of losses (train) or detection Boxes (eval)."""
         c = self.config
+        if train and c.quant != "none":
+            # jnp.round's gradient is zero — the int8 path is inference-only
+            raise ValueError(
+                "TPU.QUANT is an eval-time flag; train with TPU.QUANT='none'")
         b = images.batch_size
 
         features = self.backbone(images.pixels.astype(self.dtype))

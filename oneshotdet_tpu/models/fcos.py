@@ -61,15 +61,18 @@ class FCOSHead(nn.Module):
     num_levels: int = 5
     dense_points: int = 1  # DENSE_POINTS 4/5-point variant (fcos.py:53-63)
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: int8 tower convs (the predictors stay float)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
         cls_tower_blocks = [
-            ConvGNRelu(features[0].shape[-1], dtype=self.dtype, name=f"cls_tower_{i}")
+            ConvGNRelu(features[0].shape[-1], dtype=self.dtype, quant=self.quant,
+                       name=f"cls_tower_{i}")
             for i in range(self.num_convs)
         ]
         bbox_tower_blocks = [
-            ConvGNRelu(features[0].shape[-1], dtype=self.dtype, name=f"bbox_tower_{i}")
+            ConvGNRelu(features[0].shape[-1], dtype=self.dtype, quant=self.quant,
+                       name=f"bbox_tower_{i}")
             for i in range(self.num_convs)
         ]
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)

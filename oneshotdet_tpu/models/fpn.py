@@ -32,10 +32,14 @@ def _kaiming_uniform_a1():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
-    return nn.Conv(
-        features,
-        (kernel, kernel),
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          quant="none"):
+    from ..ops.quant import make_conv
+
+    return make_conv(
+        quant,
+        features=features,
+        kernel_size=(kernel, kernel),
         strides=(stride, stride),
         padding=[(kernel // 2, kernel // 2)] * 2,
         use_bias=True,
@@ -64,15 +68,16 @@ class FPN(nn.Module):
     out_channels: int = 256
     use_c5_for_p6: bool = False
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT int8 path for lateral/output convs
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         c2, c3, c4, c5 = features
         # lateral (inner) convs — names follow the reference fpn_inner{2,3,4}
         # numbering over the non-skipped inputs (C3=2, C4=3, C5=4).
-        inner3 = _conv(self.out_channels, 1, name="fpn_inner2", dtype=self.dtype)(c3)
-        inner4 = _conv(self.out_channels, 1, name="fpn_inner3", dtype=self.dtype)(c4)
-        inner5 = _conv(self.out_channels, 1, name="fpn_inner4", dtype=self.dtype)(c5)
+        inner3 = _conv(self.out_channels, 1, name="fpn_inner2", dtype=self.dtype, quant=self.quant)(c3)
+        inner4 = _conv(self.out_channels, 1, name="fpn_inner3", dtype=self.dtype, quant=self.quant)(c4)
+        inner5 = _conv(self.out_channels, 1, name="fpn_inner4", dtype=self.dtype, quant=self.quant)(c5)
 
         def top_down(lateral, top):
             up = upsample_nearest_2x(top)
@@ -82,15 +87,15 @@ class FPN(nn.Module):
             return lateral + up
 
         last = inner5
-        p5 = _conv(self.out_channels, 3, name="fpn_layer4", dtype=self.dtype)(last)
+        p5 = _conv(self.out_channels, 3, name="fpn_layer4", dtype=self.dtype, quant=self.quant)(last)
         last = top_down(inner4, last)
-        p4 = _conv(self.out_channels, 3, name="fpn_layer3", dtype=self.dtype)(last)
+        p4 = _conv(self.out_channels, 3, name="fpn_layer3", dtype=self.dtype, quant=self.quant)(last)
         last = top_down(inner3, last)
-        p3 = _conv(self.out_channels, 3, name="fpn_layer2", dtype=self.dtype)(last)
+        p3 = _conv(self.out_channels, 3, name="fpn_layer2", dtype=self.dtype, quant=self.quant)(last)
 
         p6_in = c5 if self.use_c5_for_p6 else p5
-        p6 = _conv(self.out_channels, 3, stride=2, name="top_p6", dtype=self.dtype)(p6_in)
-        p7 = _conv(self.out_channels, 3, stride=2, name="top_p7", dtype=self.dtype)(nn.relu(p6))
+        p6 = _conv(self.out_channels, 3, stride=2, name="top_p6", dtype=self.dtype, quant=self.quant)(p6_in)
+        p7 = _conv(self.out_channels, 3, stride=2, name="top_p7", dtype=self.dtype, quant=self.quant)(nn.relu(p6))
         return (p3, p4, p5, p6, p7)
 
 
@@ -102,6 +107,7 @@ class ResNetFPN(nn.Module):
     use_c5_for_p6: bool = False
     stride_in_1x1: bool = True
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -111,11 +117,13 @@ class ResNetFPN(nn.Module):
             depth=self.depth,
             stride_in_1x1=self.stride_in_1x1,
             dtype=self.dtype,
+            quant=self.quant,
             name="body",
         )(x)
         return FPN(
             out_channels=self.out_channels,
             use_c5_for_p6=self.use_c5_for_p6,
             dtype=self.dtype,
+            quant=self.quant,
             name="fpn",
         )(cs)

@@ -84,16 +84,23 @@ class ConvGNRelu(nn.Module):
     kernel: int = 3
     negative_slope: float = 0.0  # 0 -> ReLU, 0.2 -> LeakyReLU(0.2)
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT int8 path for the tower conv
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
+        from ..ops.quant import make_conv
+
+        # explicit name matches nn.Conv's auto-name so checkpoints load
+        # unchanged whichever conv class is substituted
+        x = make_conv(
+            self.quant,
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
             padding="SAME",
             dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros,
+            name="Conv_0",
         )(x)
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
         if self.negative_slope > 0:

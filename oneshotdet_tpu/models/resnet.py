@@ -40,10 +40,14 @@ STAGE_BLOCKS = {
 }
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
-    return nn.Conv(
-        features,
-        (kernel, kernel),
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          quant="none"):
+    from ..ops.quant import make_conv
+
+    return make_conv(
+        quant,
+        features=features,
+        kernel_size=(kernel, kernel),
         strides=(stride, stride),
         padding=[(kernel // 2, kernel // 2)] * 2,
         use_bias=False,
@@ -60,6 +64,7 @@ class Bottleneck(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: "int8" quantizes every block conv
 
     @nn.compact
     def __call__(self, x):
@@ -67,13 +72,17 @@ class Bottleneck(nn.Module):
         identity = x
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
 
-        out = _conv(self.bottleneck_channels, 1, s1, name="conv1", dtype=self.dtype)(x)
+        out = _conv(self.bottleneck_channels, 1, s1, name="conv1",
+                    dtype=self.dtype, quant=self.quant)(x)
         out = FrozenBatchNorm(self.bottleneck_channels, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
 
-        out = nn.Conv(
-            self.bottleneck_channels,
-            (3, 3),
+        from ..ops.quant import make_conv
+
+        out = make_conv(
+            self.quant,
+            features=self.bottleneck_channels,
+            kernel_size=(3, 3),
             strides=(s3, s3),
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
@@ -84,11 +93,14 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(self.bottleneck_channels, name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
 
-        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype,
+                    quant=self.quant)(out)
         out = FrozenBatchNorm(self.out_channels, name="bn3", dtype=self.dtype)(out)
 
         if in_channels != self.out_channels or self.stride != 1:
-            identity = _conv(self.out_channels, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = _conv(self.out_channels, 1, self.stride,
+                             name="downsample_conv", dtype=self.dtype,
+                             quant=self.quant)(x)
             identity = FrozenBatchNorm(self.out_channels, name="downsample_bn", dtype=self.dtype)(identity)
 
         return nn.relu(out + identity)
@@ -173,6 +185,9 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     dtype: Any = jnp.float32
+    # TPU.QUANT: int8 path for every bottleneck conv; the stem stays in the
+    # compute dtype (one conv, s2d-regrouped, small share of the cost)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -195,6 +210,7 @@ class ResNet(nn.Module):
                     stride_in_1x1=self.stride_in_1x1,
                     dilation=dilation,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"layer{stage_idx}_{b}",
                 )(x)
             outputs.append(x)

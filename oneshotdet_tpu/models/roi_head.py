@@ -83,6 +83,7 @@ class _ConcatConv1x1(nn.Module):
     in_a: int = 256
     in_b: int = 256
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: int8 halves (int8_dot)
 
     def setup(self):
         self.kernel = self.param(
@@ -91,15 +92,19 @@ class _ConcatConv1x1(nn.Module):
         )
         self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+    def _dot(self, x: jnp.ndarray, k2d: jnp.ndarray) -> jnp.ndarray:
+        if self.quant == "int8":
+            from ..ops.quant import int8_dot
+
+            return int8_dot(x, k2d).astype(self.dtype)
+        return jnp.einsum("...c,cf->...f", x, k2d.astype(self.dtype))
+
     def query_half(self, a: jnp.ndarray) -> jnp.ndarray:
-        k = self.kernel.astype(self.dtype)
-        return jnp.einsum("...c,cf->...f", a, k[0, 0, : self.in_a])
+        return self._dot(a, self.kernel[0, 0, : self.in_a])
 
     def supp_half(self, b: jnp.ndarray) -> jnp.ndarray:
-        k = self.kernel.astype(self.dtype)
-        return jnp.einsum(
-            "...c,cf->...f", b, k[0, 0, self.in_a:]
-        ) + self.bias.astype(self.dtype)
+        return self._dot(b, self.kernel[0, 0, self.in_a:]) \
+            + self.bias.astype(self.dtype)
 
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray):
         ya = self.query_half(a)
@@ -127,6 +132,9 @@ class ROIBoxHeadNet(nn.Module):
     num_bbox_reg: int = 2
     linear_fusion: bool = False
     dtype: Any = jnp.float32
+    # TPU.QUANT: int8 for compress/aggreg convs + fc6/fc7 (the hot matmuls);
+    # the final cls_score/bbox_pred predictors stay float (tiny, sensitive)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray, supp_feats: jnp.ndarray,
@@ -175,7 +183,7 @@ class ROIBoxHeadNet(nn.Module):
 
         if not self.linear_fusion:
             comp0 = _ConcatConv1x1(2 * c, in_a=c, in_b=c, dtype=self.dtype,
-                                   name="compress_0")
+                                   quant=self.quant, name="compress_0")
             if prepooled_query is not None:
                 yb = comp0.supp_half(supp_feats)
                 n = prepooled_query.shape[0]
@@ -189,8 +197,12 @@ class ROIBoxHeadNet(nn.Module):
                 x = comp0(roi_feats, supp_feats)
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="compress_gn0")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype,
-                        kernel_init=nn.initializers.normal(0.01), name="compress_1")(x)
+            from ..ops.quant import make_conv
+
+            x = make_conv(self.quant, features=c, kernel_size=(1, 1),
+                          dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="compress_1")(x)
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="compress_gn1")(x)
             x = nn.leaky_relu(x, 0.2)
         else:
@@ -201,15 +213,21 @@ class ROIBoxHeadNet(nn.Module):
                 ).reshape(roi_feats.shape)
             x = jnp.concatenate([roi_feats, supp_feats], axis=-1)
 
-        x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype, name="aggreg")(x)
+        from ..ops.quant import make_conv as _mc
+        from ..ops.quant import make_dense as _md
+
+        x = _mc(self.quant, features=c // 2, kernel_size=(3, 3),
+                padding="SAME", dtype=self.dtype, name="aggreg")(x)
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="aggreg_gn")(x)
         x = nn.leaky_relu(x, 0.2)
 
         # flatten channel-major (torch .view order) for checkpoint interop
         n = x.shape[0]
         x = x.transpose(0, 3, 1, 2).reshape(n, -1)
-        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc7")(x))
+        x = nn.relu(_md(self.quant, features=self.representation_size,
+                        dtype=self.dtype, name="fc6")(x))
+        x = nn.relu(_md(self.quant, features=self.representation_size,
+                        dtype=self.dtype, name="fc7")(x))
 
         logits = nn.Dense(
             self.num_classes, dtype=self.dtype,

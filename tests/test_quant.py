@@ -1,0 +1,145 @@
+"""TPU.QUANT=int8 — opt-in int8 conv stack (VERDICT r2 #3).
+
+Properties tested:
+  1. param-tree equality: QuantConv8 substitutes for nn.Conv without
+     changing any parameter path/shape, so reference-imported checkpoints
+     load unchanged in either mode;
+  2. numeric closeness: int8 (per-out-channel weight scales, per-tensor
+     dynamic activation scales) tracks the float path on a single conv and
+     through a ResNet bottleneck to within quantization error;
+  3. full-detector smoke: the detector builds and runs eval with
+     TPU.QUANT="int8" and returns finite, plausibly-overlapping detections
+     vs the float path.
+
+The reference has no quantized path (this is a TPU roofline lever —
+BASELINE.md); the layers quantized mirror
+maskrcnn_benchmark/modeling/backbone/resnet.py:318-390 and the FCOS tower
+convs (rpn/fcos/fcos.py:27-49).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oneshotdet_tpu.config import cfg
+from oneshotdet_tpu.models import build_detection_model
+from oneshotdet_tpu.ops.quant import QuantConv8, int8_conv, make_conv
+from oneshotdet_tpu.structures import ImageBatch
+
+pytestmark = pytest.mark.smoke
+
+
+def test_param_tree_identical_across_modes():
+    from oneshotdet_tpu.models.fpn import ResNetFPN
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vf = ResNetFPN(depth=50, quant="none").init(jax.random.PRNGKey(0), x)
+    vq = ResNetFPN(depth=50, quant="int8").init(jax.random.PRNGKey(0), x)
+    pf = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vf)
+    pq = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vq)
+    fl_f = jax.tree_util.tree_flatten_with_path(pf)[0]
+    fl_q = jax.tree_util.tree_flatten_with_path(pq)[0]
+    assert [k for k, _ in fl_f] == [k for k, _ in fl_q]
+    assert [v for _, v in fl_f] == [v for _, v in fl_q]
+
+
+def test_fcos_head_param_tree_identical():
+    from oneshotdet_tpu.models.fcos import FCOSHead
+
+    feats = [jnp.zeros((1, 2 ** (5 - i), 2 ** (5 - i), 64), jnp.float32)
+             for i in range(5)]
+    vf = FCOSHead(num_levels=5, quant="none").init(jax.random.PRNGKey(0), feats)
+    vq = FCOSHead(num_levels=5, quant="int8").init(jax.random.PRNGKey(0), feats)
+    kf = [k for k, _ in jax.tree_util.tree_flatten_with_path(vf)[0]]
+    kq = [k for k, _ in jax.tree_util.tree_flatten_with_path(vq)[0]]
+    assert kf == kq
+
+
+def test_roi_head_param_tree_and_output():
+    from oneshotdet_tpu.models.roi_head import ROIBoxHeadNet
+
+    rng = np.random.RandomState(5)
+    roi = jnp.asarray(rng.randn(8, 7, 7, 64).astype(np.float32))
+    supp = jnp.asarray(rng.randn(2, 7, 7, 64).astype(np.float32))
+    hf = ROIBoxHeadNet(in_channels=64, quant="none")
+    hq = ROIBoxHeadNet(in_channels=64, quant="int8")
+    v = hf.init(jax.random.PRNGKey(0), roi, supp)
+    vq = hq.init(jax.random.PRNGKey(0), roi, supp)
+    kf = [k for k, _ in jax.tree_util.tree_flatten_with_path(v)[0]]
+    kq = [k for k, _ in jax.tree_util.tree_flatten_with_path(vq)[0]]
+    assert kf == kq
+    lf, df = hf.apply(v, roi, supp)
+    lq, dq = hq.apply(v, roi, supp)  # float weights load into the quant head
+    # GroupNorm after each quantized conv renormalizes, so the relative
+    # error stays modest through the 6-matmul chain
+    denom = np.abs(np.asarray(lf)).max() + 1e-6
+    assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom < 0.25
+
+
+def test_int8_conv_tracks_float():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 32, 64).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = int8_conv(x, w, (1, 1), [(1, 1), (1, 1)])
+    # error budget: ~1/127 per operand, relative to output magnitude
+    denom = np.abs(np.asarray(ref)).max()
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max() / denom
+    assert err < 0.04, err
+
+
+def test_quantconv8_module_matches_nn_conv_params_and_output():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    kw = dict(features=24, kernel_size=(3, 3), padding="SAME", name="c")
+    mf = make_conv("none", **kw)
+    mq = make_conv("int8", **kw)
+    v = mf.init(jax.random.PRNGKey(2), x)
+    yf = mf.apply(v, x)
+    yq = mq.apply(v, x)  # same variables load into the quant module
+    denom = np.abs(np.asarray(yf)).max()
+    assert np.abs(np.asarray(yq) - np.asarray(yf)).max() / denom < 0.04
+    assert isinstance(mq, QuantConv8)
+
+
+@pytest.mark.slow
+def test_detector_int8_smoke():
+    def _cfg(quant):
+        c = cfg.clone()
+        c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+        c.MODEL.RETINANET.USE_C5 = False
+        c.FEW_SHOT.SIAMESE_BACKBONE = True
+        c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+        c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 128
+        c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 64
+        c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
+        c.TPU.NMS_PRE_TOPK = 256
+        c.TPU.COMPUTE_DTYPE = "float32"
+        c.TPU.QUANT = quant
+        return c
+
+    rng = np.random.RandomState(7)
+    pixels = jnp.asarray(rng.randn(1, 96, 128, 3).astype(np.float32))
+    supp = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    images = ImageBatch(pixels=pixels, sizes=jnp.array([[96.0, 128.0]]))
+    s = ImageBatch(pixels=supp, sizes=jnp.array([[64.0, 64.0]]))
+
+    mf = build_detection_model(_cfg("none"))
+    variables = mf.init({"params": jax.random.PRNGKey(0)}, images, s,
+                        train=False)
+    df = mf.apply(variables, images, s,
+                  target_ids=jnp.ones((1,), jnp.int32), train=False)
+
+    mq = build_detection_model(_cfg("int8"))
+    dq = mq.apply(variables, images, s,
+                  target_ids=jnp.ones((1,), jnp.int32), train=False)
+
+    bq = np.asarray(dq.xyxy)
+    assert np.isfinite(bq[np.asarray(dq.valid)]).all()
+    # same random weights: the two modes should fire on broadly the same
+    # number of locations (quantization shifts scores slightly)
+    nf, nq = int(np.asarray(df.valid).sum()), int(np.asarray(dq.valid).sum())
+    assert abs(nf - nq) <= max(4, nf // 2 + 1), (nf, nq)
