@@ -516,11 +516,17 @@ class GeneralizedRCNN(nn.Module):
         if not use_prepool:
             return self._pool_rois(features, proposals, use_pallas=True), None
         k0 = self.variables["params"]["roi_head"]["compress_0"]["kernel"]
-        ka = jnp.asarray(k0)[0, 0, : c.out_channels].astype(self.dtype)
-        ya_maps = [
-            jnp.einsum("bhwc,cf->bhwf", f.astype(self.dtype), ka)
-            for f in features
-        ]
+        ka = jnp.asarray(k0)[0, 0, : c.out_channels]
+        if c.quant == "int8":
+            from ..ops.quant import int8_dot
+
+            ya_maps = [int8_dot(f, ka).astype(self.dtype) for f in features]
+        else:
+            ya_maps = [
+                jnp.einsum("bhwc,cf->bhwf", f.astype(self.dtype),
+                           ka.astype(self.dtype))
+                for f in features
+            ]
         return None, self._pool_rois(ya_maps, proposals, use_pallas=True)
 
     def _pool_rois_at(self, features, boxes: Boxes, resolution: int,

@@ -106,6 +106,55 @@ def test_quantconv8_module_matches_nn_conv_params_and_output():
 
 
 @pytest.mark.slow
+def test_prepool_compress_int8_smoke(monkeypatch):
+    """ONESHOT_PREPOOL_COMPRESS=1 with TPU.QUANT=int8 quantizes the hoisted
+    full-map query-half matmul (detector._eval_roi_pool int8_dot branch);
+    the run must produce finite detections broadly agreeing with the
+    non-hoisted int8 path (quantization grouping differs — full-map vs
+    per-ROI activation scales — so only closeness, not identity)."""
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.structures import ImageBatch
+
+    c = cfg.clone()
+    c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 64
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.FEW_SHOT.SUPP_ROIALIGN = True
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 32
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.TPU.QUANT = "int8"
+
+    model = build_detection_model(c)
+    rng = np.random.RandomState(11)
+    images = ImageBatch(
+        pixels=jnp.asarray(rng.randn(1, 96, 128, 3).astype(np.float32)),
+        sizes=jnp.array([[96.0, 128.0]]))
+    supp = ImageBatch(
+        pixels=jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)),
+        sizes=jnp.array([[64.0, 64.0]]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                           train=False)
+
+    def run():
+        dets = model.apply(variables, images, supp,
+                           target_ids=jnp.ones((1,), jnp.int32), train=False)
+        return np.asarray(dets.xyxy), np.asarray(dets.valid)
+
+    monkeypatch.delenv("ONESHOT_PREPOOL_COMPRESS", raising=False)
+    base_xyxy, base_valid = run()
+    monkeypatch.setenv("ONESHOT_PREPOOL_COMPRESS", "1")
+    fused_xyxy, fused_valid = run()
+    assert np.isfinite(fused_xyxy[fused_valid]).all()
+    assert abs(int(fused_valid.sum()) - int(base_valid.sum())) <= 4
+
+
+@pytest.mark.slow
 def test_detector_int8_smoke():
     def _cfg(quant):
         c = cfg.clone()
