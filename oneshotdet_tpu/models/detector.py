@@ -337,7 +337,7 @@ class GeneralizedRCNN(nn.Module):
                 pre_nms_top_n=min(c.retina_pre_nms_top_n, c.nms_pre_topk),
                 nms_thresh=c.retina_nms_th,
                 detections_per_img=c.fpn_post_nms_top_n_test,
-                dtype=self.dtype, name="retinanet_module",
+                dtype=self.dtype, quant=c.quant, name="retinanet_module",
             )
         else:
             from .rpn import RPNModule
@@ -380,14 +380,14 @@ class GeneralizedRCNN(nn.Module):
 
                 self.mask_head = MaskHead(
                     num_classes=ncls, conv_layers=c.mask_conv_layers,
-                    dtype=self.dtype, name="mask_head",
+                    dtype=self.dtype, quant=c.quant, name="mask_head",
                 )
             if c.keypoint_on:
                 from .keypoint_head import KeypointHead
 
                 self.keypoint_head = KeypointHead(
                     num_keypoints=c.num_keypoints, conv_layers=c.kp_conv_layers,
-                    dtype=self.dtype, name="keypoint_head",
+                    dtype=self.dtype, quant=c.quant, name="keypoint_head",
                 )
 
     # -- helpers ----------------------------------------------------------

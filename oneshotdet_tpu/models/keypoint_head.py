@@ -23,13 +23,17 @@ from flax import linen as nn
 class KeypointRCNNFeatureExtractor(nn.Module):
     layers: tuple = tuple(512 for _ in range(8))
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: int8 fcn convs (predictor stays float)
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.quant import make_conv
+
         for i, ch in enumerate(self.layers):
             x = nn.relu(
-                nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                        name=f"conv_fcn{i + 1}")(x)
+                make_conv(self.quant, features=ch, kernel_size=(3, 3),
+                          padding="SAME", dtype=self.dtype,
+                          name=f"conv_fcn{i + 1}")(x)
             )
         return x
 
@@ -53,11 +57,13 @@ class KeypointHead(nn.Module):
     num_keypoints: int = 17
     conv_layers: tuple = tuple(512 for _ in range(8))
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, roi_feats):
         x = KeypointRCNNFeatureExtractor(
-            layers=self.conv_layers, dtype=self.dtype, name="feature_extractor"
+            layers=self.conv_layers, dtype=self.dtype, quant=self.quant,
+            name="feature_extractor"
         )(roi_feats)
         return KeypointRCNNPredictor(
             num_keypoints=self.num_keypoints, dtype=self.dtype, name="predictor"

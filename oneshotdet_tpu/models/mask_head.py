@@ -28,15 +28,19 @@ from ..ops.losses import bce_with_logits
 class MaskRCNNFPNFeatureExtractor(nn.Module):
     layers: tuple = (256, 256, 256, 256)
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: int8 fcn convs (predictor stays float)
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.quant import make_conv
+
         for i, ch in enumerate(self.layers):
             x = nn.relu(
-                nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                        kernel_init=nn.initializers.variance_scaling(
-                            2.0, "fan_out", "normal"),
-                        name=f"mask_fcn{i + 1}")(x)
+                make_conv(self.quant, features=ch, kernel_size=(3, 3),
+                          padding="SAME", dtype=self.dtype,
+                          kernel_init=nn.initializers.variance_scaling(
+                              2.0, "fan_out", "normal"),
+                          name=f"mask_fcn{i + 1}")(x)
             )
         return x
 
@@ -64,11 +68,13 @@ class MaskHead(nn.Module):
     num_classes: int = 2
     conv_layers: tuple = (256, 256, 256, 256)
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, roi_feats):
         x = MaskRCNNFPNFeatureExtractor(
-            layers=self.conv_layers, dtype=self.dtype, name="feature_extractor"
+            layers=self.conv_layers, dtype=self.dtype, quant=self.quant,
+            name="feature_extractor"
         )(roi_feats)
         return MaskRCNNPredictor(
             num_classes=self.num_classes, dtype=self.dtype, name="predictor"

@@ -34,18 +34,25 @@ class RetinaNetHead(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     dtype: Any = jnp.float32
+    quant: str = "none"  # TPU.QUANT: int8 tower convs (predictors stay float)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
+        from ..ops.quant import make_conv
+
         ch = features[0].shape[-1]
         cls_tower = [
-            nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=nn.initializers.normal(0.01), name=f"cls_tower_{i}")
+            make_conv(self.quant, features=ch, kernel_size=(3, 3),
+                      padding="SAME", dtype=self.dtype,
+                      kernel_init=nn.initializers.normal(0.01),
+                      name=f"cls_tower_{i}")
             for i in range(self.num_convs)
         ]
         bbox_tower = [
-            nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=nn.initializers.normal(0.01), name=f"bbox_tower_{i}")
+            make_conv(self.quant, features=ch, kernel_size=(3, 3),
+                      padding="SAME", dtype=self.dtype,
+                      kernel_init=nn.initializers.normal(0.01),
+                      name=f"bbox_tower_{i}")
             for i in range(self.num_convs)
         ]
         bias = -math.log((1 - self.prior_prob) / self.prior_prob)
@@ -136,6 +143,7 @@ class RetinaNetModule(nn.Module):
     nms_thresh: float = 0.4
     detections_per_img: int = 100
     dtype: Any = jnp.float32
+    quant: str = "none"
 
     def setup(self):
         cell = []
@@ -151,7 +159,7 @@ class RetinaNetModule(nn.Module):
         a = len(self.aspect_ratios) * self.scales_per_octave
         self.head = RetinaNetHead(
             num_classes=self.num_classes, num_anchors=a, dtype=self.dtype,
-            name="head",
+            quant=self.quant, name="head",
         )
         self.box_coder = BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
 

@@ -192,3 +192,46 @@ def test_detector_int8_smoke():
     # number of locations (quantization shifts scores slightly)
     nf, nq = int(np.asarray(df.valid).sum()), int(np.asarray(dq.valid).sum())
     assert abs(nf - nq) <= max(4, nf // 2 + 1), (nf, nq)
+
+
+def test_retinanet_head_param_tree_and_output():
+    """quant=int8 RetinaNet towers: identical param tree, tracking output."""
+    from oneshotdet_tpu.models.retinanet import RetinaNetHead
+
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.randn(1, 2 ** (4 - i), 2 ** (4 - i), 64)
+                         .astype(np.float32)) for i in range(3)]
+    hf = RetinaNetHead(num_classes=2, num_anchors=9, quant="none")
+    hq = RetinaNetHead(num_classes=2, num_anchors=9, quant="int8")
+    v = hf.init(jax.random.PRNGKey(0), feats)
+    vq = hq.init(jax.random.PRNGKey(0), feats)
+    kf = [k for k, _ in jax.tree_util.tree_flatten_with_path(v)[0]]
+    kq = [k for k, _ in jax.tree_util.tree_flatten_with_path(vq)[0]]
+    assert kf == kq
+    cls_f, _ = hf.apply(v, feats)
+    cls_q, _ = hq.apply(v, feats)  # float weights load into the quant head
+    denom = np.abs(np.asarray(cls_f[0])).max() + 1e-6
+    assert np.abs(np.asarray(cls_q[0]) - np.asarray(cls_f[0])).max() / denom < 0.25
+
+
+def test_mask_keypoint_head_param_tree_and_output():
+    """quant=int8 mask/keypoint fcn convs: identical trees, tracking output."""
+    from oneshotdet_tpu.models.keypoint_head import KeypointHead
+    from oneshotdet_tpu.models.mask_head import MaskHead
+
+    rng = np.random.RandomState(9)
+    roi = jnp.asarray(rng.randn(4, 14, 14, 64).astype(np.float32))
+    for cls_, kw in ((MaskHead, dict(num_classes=2, conv_layers=(64, 64))),
+                     (KeypointHead, dict(num_keypoints=17,
+                                         conv_layers=(64, 64)))):
+        hf = cls_(quant="none", **kw)
+        hq = cls_(quant="int8", **kw)
+        v = hf.init(jax.random.PRNGKey(0), roi)
+        vq = hq.init(jax.random.PRNGKey(0), roi)
+        kf = [k for k, _ in jax.tree_util.tree_flatten_with_path(v)[0]]
+        kq = [k for k, _ in jax.tree_util.tree_flatten_with_path(vq)[0]]
+        assert kf == kq, cls_.__name__
+        yf = np.asarray(hf.apply(v, roi))
+        yq = np.asarray(hq.apply(v, roi))
+        denom = np.abs(yf).max() + 1e-6
+        assert np.abs(yq - yf).max() / denom < 0.25, cls_.__name__
