@@ -193,6 +193,8 @@ def main():
     ms_per_img = 1000.0 * dt / (b * args.iters)
     print(f"{ms_per_img:.2f} ms/image, batch {b}", file=sys.stderr, flush=True)
     variant = "" if args.quant == "none" else f"_{args.quant}"
+    if args.roi_topk:
+        variant += f"_topk{args.roi_topk}"
     rec = {
         "metric": f"oneshot_eval{variant}_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
@@ -244,6 +246,9 @@ def _run_secondaries(args):
     secondaries = (
         ("eval_cached", []),
         ("eval", ["--quant", "int8"]),  # int8 conv-stack variant (TPU.QUANT)
+        # combined workload levers: int8 stack + stage-2 proposal compaction
+        # (drift bounds: tools/quant_drift.py, tests/test_roi_compaction.py)
+        ("eval", ["--quant", "int8", "--roi-topk", "512"]),
         ("latency", []),
         ("train", []),
     )
