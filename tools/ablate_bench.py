@@ -78,6 +78,58 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
 
         GeneralizedRCNN._pool_rois = fake_pool
 
+    if mode == "no_fuse":
+        # skip _fuse entirely (1x1 supp pooling + shot-average + channel
+        # multiply over the full pyramid): delta vs full = fusion cost
+        from oneshotdet_tpu.models.detector import GeneralizedRCNN
+
+        GeneralizedRCNN._fuse = lambda self, f, fs, s, bb: f
+
+    if mode == "no_supp7":
+        # skip the whole-support 7x7 pooling feeding stage 2: delta vs
+        # full = _supp_roi_7x7's multilevel roi_align cost
+        from oneshotdet_tpu.models.detector import GeneralizedRCNN
+
+        def fake_supp7(self, features_supp, supp_sizes_hw, batch_size):
+            r = self.config.pooler_resolution
+            ch = features_supp[0].shape[-1]
+            shot = features_supp[0].shape[0] // batch_size
+            return jnp.zeros((batch_size, shot, r, r, ch),
+                             features_supp[0].dtype)
+
+        GeneralizedRCNN._supp_roi_7x7 = fake_supp7
+
+    if mode == "no_final_post":
+        # replace stage-2 postprocess (decode + clip + NMS + top-k) with a
+        # static truncate: delta vs full = final postproc cost
+        from oneshotdet_tpu.models import detector as det_mod
+        from oneshotdet_tpu.models.roi_head import truncate_boxes
+        from oneshotdet_tpu.structures.boxes import Boxes
+
+        def fake_post(logits, deltas, proposals, target_ids, box_coder,
+                      score_thresh=0.0, nms_thresh=0.5,
+                      detections_per_img=2000, cls_loss_type="ce_loss"):
+            b, p = proposals.valid.shape
+            scores = logits[:, :1].reshape(b, p) + deltas[:, :4].sum(-1).reshape(b, p) * 0
+            k = min(detections_per_img, p)
+            out = truncate_boxes(proposals, k)
+            return Boxes(xyxy=out.xyxy, valid=out.valid, size=out.size,
+                         fields={"scores": scores[:, :k],
+                                 "labels": jnp.zeros((b, k), jnp.int32)})
+
+        det_mod.roi_head_postprocess = fake_post
+
+    if mode.startswith("stage_blocks:"):
+        # shrink one resnet stage to 1 block (e.g. "stage_blocks:1,4,6,3"):
+        # delta vs full = the removed blocks' in-program cost, per stage.
+        # Program-level localization of the backbone conv ceiling
+        # (VERDICT r2 #7) — per-shape standalone timings lie on this tunnel.
+        from oneshotdet_tpu.models import resnet as resnet_mod
+
+        resnet_mod.STAGE_BLOCKS = dict(resnet_mod.STAGE_BLOCKS)
+        resnet_mod.STAGE_BLOCKS[50] = tuple(
+            int(v) for v in mode.split(":")[1].split(","))
+
     if mode == "double_backbone":
         # run both backbones twice (second pass on x+1 so CSE can't elide
         # it); delta vs full = one extra query+support backbone+FPN pass.
@@ -149,6 +201,17 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
             if hasattr(dets, "xyxy"):
                 return dets.xyxy, dets.get_field("scores"), dets.valid
             return dets
+
+    if mode == "sum_out":
+        # reduce every output to a scalar on device: delta vs full =
+        # device->host transfer share of the detection arrays
+        inner = forward
+
+        @jax.jit
+        def forward(v, q, s):
+            out = inner.__wrapped__(v, q, s)
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32).sum(), out)
 
     if mode == "devgen_inputs":
         # inputs generated on device inside the jit: isolates host->device
@@ -241,6 +304,31 @@ def main():
 
     c = base_cfg(); c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 1000
     ablations["1000 proposals (vs 2000)"] = (c, "full")
+
+    # misc attribution (VERDICT r2 #6) — each patches a class/module symbol,
+    # so run via --only in separate processes like no_gn
+    ablations["no_fuse"] = (base_cfg(), "no_fuse")
+    ablations["no_supp7"] = (base_cfg(), "no_supp7")
+    ablations["no_final_post"] = (base_cfg(), "no_final_post")
+    ablations["sum_out"] = (base_cfg(), "sum_out")
+
+    # per-stage backbone localization (VERDICT r2 #7): shrink one stage to
+    # 1 block; delta vs full = the removed blocks' in-program cost. Run via
+    # --only (patches the STAGE_BLOCKS table for the process).
+    ablations["c2 1-block (of 3)"] = (base_cfg(), "stage_blocks:1,4,6,3")
+    ablations["c3 1-block (of 4)"] = (base_cfg(), "stage_blocks:3,1,6,3")
+    ablations["c4 1-block (of 6)"] = (base_cfg(), "stage_blocks:3,4,1,3")
+    ablations["c5 1-block (of 3)"] = (base_cfg(), "stage_blocks:3,4,6,1")
+
+    # round-3 workload levers, measured inside the full program
+    c = base_cfg(); c.TPU.QUANT = "int8"
+    ablations["int8 conv stack"] = (c, "full")
+    c = base_cfg(); c.TPU.EVAL_ROI_TOPK = 512
+    ablations["roi topk 512"] = (c, "full")
+    c = base_cfg(); c.TPU.EVAL_ROI_TOPK = 1024
+    ablations["roi topk 1024"] = (c, "full")
+    c = base_cfg(); c.TPU.QUANT = "int8"; c.TPU.EVAL_ROI_TOPK = 512
+    ablations["int8 + topk 512"] = (c, "full")
 
     names = args.only if args.only else list(ablations)
     results = {}
