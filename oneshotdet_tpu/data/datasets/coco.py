@@ -6,7 +6,8 @@ few-shot machinery) on top of LiteCOCO (no pycocotools in this image):
   - per-category image catalog; dataset length = sum over categories of
     #images containing that category — one entry per (query image, class)
     episode (coco.py:181-203);
-  - deterministic shuffle with random.seed(6666) (coco.py:70);
+  - deterministic episodic shuffle, seed 6666 (coco.py:70) — via a private
+    Random instance so concurrent loader threads can't perturb it;
   - train/test class split via TRAINING_EXCL_CATS / TEST_EXCL_CATS in
     contiguous 1..80 ids mapped back to json ids (coco.py:102-118);
   - __getitem__ filters annotations to the episode's class with labels=1
@@ -55,6 +56,16 @@ class COCODataset:
         transforms=None,
         remove_images_without_annotations: bool = True,
     ):
+        # The reference seeds the GLOBAL RNG (coco.py:70) and shuffles with
+        # it. A private Random(6666) produces the bit-identical shuffle
+        # (same Mersenne Twister) but cannot race with loader worker
+        # threads of a previous loader instance still drawing from the
+        # global RNG — that race made the episodic index order
+        # load-dependent (observed as batch-order flakes in
+        # test_process_loader_matches_thread_loader).
+        self._shuffle_rng = random.Random(6666)
+        # the reference also (re)seeds the global RNG here, which support
+        # selection (get_random_item_from_cat) draws from — keep that
         random.seed(6666)
         self.cfg = cfg
         self.root = root
@@ -134,7 +145,7 @@ class COCODataset:
             self.chosen_cats.extend([cat] * len(ids))
 
         index_arr = list(range(len(self.ids)))
-        random.shuffle(index_arr)
+        self._shuffle_rng.shuffle(index_arr)
         self.ids = [self.ids[i] for i in index_arr]
         self.chosen_cats = [self.chosen_cats[i] for i in index_arr]
         self.id_to_img_map = dict(enumerate(self.ids))
