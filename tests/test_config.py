@@ -64,6 +64,22 @@ def test_all_shipped_and_reference_yamls_load():
         assert c.MODEL.META_ARCHITECTURE == "GeneralizedRCNN", f
 
 
+def test_fast_eval_preset_sets_round3_levers():
+    """The fast-eval preset differs from the flagship ONLY by the opt-in
+    eval levers (TPU.QUANT=int8 + TPU.EVAL_ROI_TOPK=512) — same model keys,
+    so the same checkpoints load."""
+    here = os.path.join(os.path.dirname(__file__), "..", "configs")
+    base = cfg.clone()
+    base.merge_from_file(os.path.join(here, "oneshot_fcos_r50.yaml"))
+    fast = cfg.clone()
+    fast.merge_from_file(os.path.join(here, "oneshot_fcos_r50_fast_eval.yaml"))
+    assert fast.TPU.QUANT == "int8"
+    assert fast.TPU.EVAL_ROI_TOPK == 512
+    fast.TPU.QUANT = base.TPU.QUANT
+    fast.TPU.EVAL_ROI_TOPK = base.TPU.EVAL_ROI_TOPK
+    assert str(fast) == str(base)
+
+
 def test_tuple_coercion(tmp_path):
     y = tmp_path / "t.yaml"
     y.write_text(textwrap.dedent("""
