@@ -1,0 +1,149 @@
+"""Serving export: serialize the eval program to a portable StableHLO
+artifact via ``jax.export``.
+
+The reference has no serving-export story — its demo/predictor re-runs the
+python model per frame (reference ``demo/predictor.py``, SURVEY §3.4), and
+the torch ecosystem would reach for torchscript/ONNX. The TPU-native
+equivalent is an ahead-of-time serialized StableHLO module: traced once at
+fixed shapes, weights embedded as constants, reloadable in any process (or
+another host) without the model-building python in the loop, and callable
+under ``jax.jit`` with zero retracing.
+
+Two artifact kinds (mirroring the two production protocols):
+
+- **full**: ``f(pixels, sizes, supp_pixels, supp_sizes, target_ids) ->
+  (xyxy, scores, valid)`` — recomputes support features per call, matching
+  the reference eval loop (``engine/inference.py``).
+- **cached_support**: the deployment pair
+  ``support(supp_pixels, supp_sizes) -> (pooled..., supp_7x7)`` and
+  ``detect(pixels, sizes, pooled..., supp_7x7, target_ids) ->
+  (xyxy, scores, valid)`` — support branch runs once per class
+  (``GeneralizedRCNN.compute_support_features`` /
+  ``detect_with_support``).
+
+Input contract: pixels are float32, normalized, zero-padded to the
+artifact's static shape; when ``cfg.TPU.HOST_S2D`` is on (the production
+default) pixels arrive 2x2 space-to-depth blocked ``(B, H/2, W/2, 12)``
+exactly as ``data.transforms.space_to_depth`` emits.
+
+Pallas note: the ROIAlign kernel routes per ``pallas_enabled()`` at trace
+time — exporting from a CPU process yields an artifact with the XLA
+fallback (runs anywhere); exporting on a TPU host embeds the Mosaic kernel
+(runs on TPU). ``platforms`` is stamped into the artifact by jax.export
+and checked at load time.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .structures import ImageBatch
+
+
+def _pixel_shape(c, batch: int, hw: Tuple[int, int]) -> Tuple[int, ...]:
+    h, w = hw
+    if c.TPU.HOST_S2D:
+        return (batch, h // 2, w // 2, 12)
+    return (batch, h, w, 3)
+
+
+def _spec(shape, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def export_eval(
+    c,
+    variables,
+    *,
+    batch: int = 8,
+    query_hw: Optional[Tuple[int, int]] = None,
+    supp_hw: Optional[Tuple[int, int]] = None,
+    kind: str = "full",
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Trace + serialize the eval program. Returns ``jax.export.Exported``
+    (kind="full") or a (support, detect) pair of them (kind="cached_support").
+
+    ``variables`` (the model param pytree) is closed over — the artifact
+    embeds the weights as constants.
+    """
+    from .models import build_detection_model
+
+    if query_hw is None:
+        query_hw = tuple(c.TPU.QUERY_BUCKETS[0])
+    if supp_hw is None:
+        supp_hw = tuple(c.TPU.SUPP_BUCKET)
+    model = build_detection_model(c)
+
+    q_spec = _spec(_pixel_shape(c, batch, query_hw))
+    qs_spec = _spec((batch, 2))
+    s_spec = _spec(_pixel_shape(c, batch, supp_hw))
+    ss_spec = _spec((batch, 2))
+    tid_spec = _spec((batch,), jnp.int32)
+
+    if kind == "full":
+
+        def forward(pixels, sizes, supp_pixels, supp_sizes, target_ids):
+            dets = model.apply(
+                variables,
+                ImageBatch(pixels=pixels, sizes=sizes),
+                ImageBatch(pixels=supp_pixels, sizes=supp_sizes),
+                target_ids=target_ids, train=False)
+            return dets.xyxy, dets.get_field("scores"), dets.valid
+
+        return jax.export.export(jax.jit(forward), platforms=platforms)(
+            q_spec, qs_spec, s_spec, ss_spec, tid_spec)
+
+    if kind == "cached_support":
+
+        def support(supp_pixels, supp_sizes):
+            return model.apply(
+                variables,
+                ImageBatch(pixels=supp_pixels, sizes=supp_sizes), batch,
+                method=lambda m, s, n: m.compute_support_features(s, n))
+
+        exp_support = jax.export.export(jax.jit(support),
+                                        platforms=platforms)(s_spec, ss_spec)
+        # trace the detect side against the support side's output shapes
+        pooled_specs, s7_spec = jax.eval_shape(
+            exp_support.call, s_spec, ss_spec)
+
+        def detect(pixels, sizes, pooled, supp_7x7, target_ids):
+            dets = model.apply(
+                variables, ImageBatch(pixels=pixels, sizes=sizes),
+                pooled, supp_7x7, target_ids,
+                method=lambda m, im, p, s7, t:
+                    m.detect_with_support(im, p, s7, t))
+            return dets.xyxy, dets.get_field("scores"), dets.valid
+
+        exp_detect = jax.export.export(jax.jit(detect), platforms=platforms)(
+            q_spec, qs_spec, pooled_specs, s7_spec, tid_spec)
+        return exp_support, exp_detect
+
+    raise ValueError(f"unknown export kind: {kind!r}")
+
+
+def save(exported, path: str) -> None:
+    """Serialize one Exported to ``path`` (a pair saves as two files:
+    ``<path>.support`` / ``<path>.detect``)."""
+    if isinstance(exported, tuple):
+        save(exported[0], path + ".support")
+        save(exported[1], path + ".detect")
+        return
+    data = exported.serialize()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load(path: str):
+    """Deserialize an artifact; returns ``jax.export.Exported`` — invoke as
+    ``jax.jit(exported.call)(*args)`` (or plain ``exported.call``)."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(bytearray(f.read()))

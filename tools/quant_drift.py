@@ -1,8 +1,10 @@
-"""TPU.QUANT=int8 drift report at production capacities.
+"""Opt-in eval-lever drift report at production capacities.
 
 Runs the flagship Siamese FCOS R-50-FPN eval forward twice with IDENTICAL
-weights and inputs — once at the config compute dtype, once with
-TPU.QUANT="int8" — at production capacities (PRE_NMS 6000 / POST 2000 /
+weights and inputs — once at the config compute dtype with the full
+workload, once with the requested variant levers (TPU.QUANT via
+--variant-quant, TPU.EVAL_ROI_TOPK via --roi-topk; both together = the
+fast-eval preset) — at production capacities (PRE_NMS 6000 / POST 2000 /
 2000 detections, 832x1216 query) and quantifies detection-set drift:
 
   - per-image valid-detection count delta
@@ -64,6 +66,13 @@ def main():
     p.add_argument("--pre-nms", type=int, default=6000)
     p.add_argument("--post-nms", type=int, default=2000)
     p.add_argument("--dets", type=int, default=2000)
+    p.add_argument("--variant-quant", default="int8", choices=["none", "int8"],
+                   help="TPU.QUANT for the variant side")
+    p.add_argument("--roi-topk", type=int, default=0,
+                   help="TPU.EVAL_ROI_TOPK for the variant side; with "
+                        "--variant-quant int8 this measures the full "
+                        "fast-eval preset (configs/oneshot_fcos_r50_"
+                        "fast_eval.yaml) against the bf16 full workload")
     args = p.parse_args()
 
     import jax
@@ -81,7 +90,7 @@ def main():
     from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
     from oneshotdet_tpu.structures import ImageBatch
 
-    def make_cfg(quant):
+    def make_cfg(quant, roi_topk=0):
         c = cfg.clone()
         c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
         c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
@@ -97,6 +106,7 @@ def main():
         c.TPU.COMPUTE_DTYPE = args.dtype
         c.TPU.HOST_S2D = True
         c.TPU.QUANT = quant
+        c.TPU.EVAL_ROI_TOPK = roi_topk
         return c
 
     b = args.batch
@@ -112,7 +122,11 @@ def main():
     supp_sizes = jnp.tile(jnp.array([[sh - 16.0, sw - 16.0]]), (b, 1))
 
     model_f = build_detection_model(make_cfg("none"))
-    model_q = build_detection_model(make_cfg("int8"))
+    model_q = build_detection_model(make_cfg(args.variant_quant,
+                                             args.roi_topk))
+    variant = args.variant_quant
+    if args.roi_topk:
+        variant += ("+" if variant != "none" else "") + f"topk{args.roi_topk}"
 
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
@@ -142,7 +156,7 @@ def main():
     bx_f, sc_f, va_f = run(model_f)
     bx_q, sc_q, va_q = run(model_q)
 
-    report = {"metric": "quant_int8_drift", "images": b,
+    report = {"metric": f"drift_{variant}_vs_bf16", "images": b,
               "capacities": [args.pre_nms, args.post_nms, args.dets]}
     count_deltas, score_maes, box_maes = [], [], []
     match_rates = {0.5: [], 0.75: [], 0.9: []}
@@ -163,7 +177,7 @@ def main():
                 box_maes.append(float(np.abs(a[ia] - bq[ib]).mean()))
     report.update({
         "mean_valid_float": float(np.mean([va_f[i].sum() for i in range(b)])),
-        "mean_valid_int8": float(np.mean([va_q[i].sum() for i in range(b)])),
+        "mean_valid_variant": float(np.mean([va_q[i].sum() for i in range(b)])),
         "count_delta_mean": float(np.mean(count_deltas)),
         "match_rate@0.5": round(float(np.mean(match_rates[0.5])), 4),
         "match_rate@0.75": round(float(np.mean(match_rates[0.75])), 4),
