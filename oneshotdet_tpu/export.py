@@ -30,7 +30,9 @@ Pallas note: the ROIAlign kernel routes per ``pallas_enabled()`` at trace
 time — exporting from a CPU process yields an artifact with the XLA
 fallback (runs anywhere); exporting on a TPU host embeds the Mosaic kernel
 (runs on TPU). ``platforms`` is stamped into the artifact by jax.export
-and checked at load time.
+and checked at load time; cross-platform export from a CPU-only host is
+verified to work with ``platforms=("tpu", "cpu")`` (XLA-fallback ROIAlign
+in that case — export on a TPU host when the Pallas kernel matters).
 """
 
 from __future__ import annotations
