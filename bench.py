@@ -249,6 +249,9 @@ def _run_secondaries(args):
         # combined workload levers: int8 stack + stage-2 proposal compaction
         # (drift bounds: tools/quant_drift.py, tests/test_roi_compaction.py)
         ("eval", ["--quant", "int8", "--roi-topk", "512"]),
+        # best-case production protocol: every lever at once (the fast-eval
+        # preset + cached supports)
+        ("eval_cached", ["--quant", "int8", "--roi-topk", "512"]),
         ("latency", []),
         ("train", []),
     )
@@ -360,8 +363,11 @@ def run_eval_cached_bench(c, args):
     img_per_sec = b * args.iters / dt
     print(f"{1000 * dt / (b * args.iters):.2f} ms/image (cached support), "
           f"batch {b}", file=sys.stderr)
+    variant = "" if args.quant == "none" else f"_{args.quant}"
+    if args.roi_topk:
+        variant += f"_topk{args.roi_topk}"
     emit({
-        "metric": "oneshot_eval_cached_support_images_per_sec_per_chip",
+        "metric": f"oneshot_eval_cached{variant}_support_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),

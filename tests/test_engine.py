@@ -126,6 +126,53 @@ def test_mesh_sharded_eval_8_devices():
 
 
 @pytest.mark.slow
+def test_mesh_sharded_eval_with_fast_eval_levers():
+    """The round-3 opt-in levers (TPU.QUANT=int8 + TPU.EVAL_ROI_TOPK, the
+    fast-eval preset) compose with the data-mesh sharded eval path."""
+    import numpy as np
+
+    from oneshotdet_tpu.config import cfg
+    from oneshotdet_tpu.engine.inference import compute_on_dataset
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.parallel import make_mesh
+    from oneshotdet_tpu.structures import ImageBatch
+    from oneshotdet_tpu.utils.synthetic import make_episodic_batch
+
+    c = cfg.clone()
+    c.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    c.MODEL.RETINANET.USE_C5 = False
+    c.FEW_SHOT.SIAMESE_BACKBONE = True
+    c.FEW_SHOT.SECOND_STAGE_METHOD = "concat"
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 50
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 16
+    c.TPU.NMS_PRE_TOPK = 128
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.TPU.QUANT = "int8"
+    c.TPU.EVAL_ROI_TOPK = 8
+    model = build_detection_model(c)
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(("data",))
+    batch = make_episodic_batch(8, (64, 64), (32, 32), max_gt=4)
+    batch["idxs"] = np.arange(8)
+    batch["img_ids"] = np.arange(8)
+
+    images = ImageBatch(pixels=jnp.asarray(batch["query_pixels"]),
+                        sizes=jnp.asarray(batch["query_sizes"]))
+    supp = ImageBatch(pixels=jnp.asarray(batch["supp_pixels"]),
+                      sizes=jnp.asarray(batch["supp_sizes"]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                           train=False)
+
+    results = compute_on_dataset(model, variables, [batch], mesh=mesh)
+    assert sorted(results.keys()) == list(range(8))
+    for r in results.values():
+        assert r["boxes"].ndim == 2 and r["boxes"].shape[1] == 4
+        assert np.isfinite(r["boxes"]).all()
+
+
+@pytest.mark.slow
 def test_cached_support_eval_matches_plain():
     """compute_on_dataset(cache_supports=True) must produce identical
     detections: the support branch is bit-identical, just hoisted out of
