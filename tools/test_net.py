@@ -50,6 +50,7 @@ def main():
         c.merge_from_list(args.opts)
 
     logger = setup_logger("oneshotdet_tpu", c.OUTPUT_DIR, "test_log.txt")
+    logger.info(f"config:\n{c}")
     model = build_detection_model(c)
     loader, dataset = make_data_loader(c, is_train=False)
 
