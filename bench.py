@@ -21,6 +21,7 @@ a v5e-8 (= 625 images/sec/chip): vs_baseline = value / 625.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,8 +33,7 @@ V5E_BF16_PEAK_TFLOPS = 197.0  # v5e peak bf16 TF/s (see BASELINE.md roofline)
 _START = time.time()
 # stop LAUNCHING secondary benches once this much wall-clock has elapsed;
 # whatever remains of the budget bounds each subprocess (VERDICT r2 #1)
-SECONDARY_BUDGET_S = float(__import__("os").environ.get(
-    "ONESHOT_BENCH_BUDGET_S", "420"))
+SECONDARY_BUDGET_S = float(os.environ.get("ONESHOT_BENCH_BUDGET_S", "420"))
 
 
 def emit(rec):
@@ -255,12 +255,20 @@ def _run_secondaries(args):
         ("latency", []),
         ("train", []),
     )
+    # Minimum remaining budget to LAUNCH a secondary. Killing a child
+    # mid-compile leaves an orphan server-side compile that stalls the next
+    # chip job (CLAUDE.md tunnel hazard), so don't launch unless there is
+    # room for a steady-state run; a cold compile still exceeds any budget —
+    # pre-warm the compile cache (tools/ or a prior full run) before relying
+    # on secondaries under the default 420 s budget.
+    min_launch_s = float(os.environ.get("ONESHOT_BENCH_MIN_LAUNCH_S", "120"))
     for mode, extra_cli in secondaries:
         elapsed = time.time() - _START
         remaining = SECONDARY_BUDGET_S - elapsed
-        if remaining < 60:
-            print(f"skipping secondary '{mode}': {elapsed:.0f}s elapsed "
-                  f"> budget {SECONDARY_BUDGET_S:.0f}s", file=sys.stderr,
+        if remaining < min_launch_s:
+            print(f"skipping secondary '{mode}': only {remaining:.0f}s of "
+                  f"the {SECONDARY_BUDGET_S:.0f}s budget remain "
+                  f"(< {min_launch_s:.0f}s launch floor)", file=sys.stderr,
                   flush=True)
             continue
         try:

@@ -146,6 +146,13 @@ class COCODataset:
 
         index_arr = list(range(len(self.ids)))
         self._shuffle_rng.shuffle(index_arr)
+        # Reference semantics: support selection (get_random_item_from_cat)
+        # draws from the global RNG *after* it performed this shuffle
+        # (ref coco.py:70,196 — nothing else draws in between). Sync the
+        # global stream to the private RNG's post-shuffle state so the
+        # episode→support mapping matches the reference bit-for-bit while
+        # the shuffle itself stays immune to stray-thread draws.
+        random.setstate(self._shuffle_rng.getstate())
         self.ids = [self.ids[i] for i in index_arr]
         self.chosen_cats = [self.chosen_cats[i] for i in index_arr]
         self.id_to_img_map = dict(enumerate(self.ids))

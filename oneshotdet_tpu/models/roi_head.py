@@ -36,7 +36,7 @@ from flax import linen as nn
 from ..ops.box_coder import BoxCoder
 from ..ops.losses import cross_entropy, sigmoid_focal_loss, smooth_l1_loss
 from ..ops.nms import nms_keep_mask
-from ..structures.boxes import Boxes, masked_box_iou
+from ..structures.boxes import Boxes, compact_boxes, masked_box_iou
 from .matcher import BELOW_LOW_THRESHOLD, BETWEEN_THRESHOLDS, balanced_sample, match_boxes
 
 
@@ -394,29 +394,12 @@ def make_artificial_proposals(
     )
 
 
-def compact_boxes(boxes: Boxes) -> Boxes:
-    """Stable-compact valid slots to the front of the capacity dimension
-    (order preserved within the valid and invalid groups).
-
-    The reference's proposal[:1000] cap (generalized_rcnn.py:202) counts
-    REAL boxes; truncating raw padded capacity instead would let the
-    artificial-jitter block's invalid slots (G*12 capacity regardless of
-    how many GTs exist) crowd out real scored proposals."""
-    cap = boxes.capacity
-    order = jnp.arange(cap)
-    key = jnp.where(boxes.valid, order, cap + order)
-    perm = jnp.argsort(key, axis=1)
-
-    def take(v):
-        p = perm.reshape(perm.shape + (1,) * (v.ndim - 2))
-        return jnp.take_along_axis(v, jnp.broadcast_to(p, v.shape[:2] + v.shape[2:]), axis=1)
-
-    return Boxes(
-        xyxy=take(boxes.xyxy),
-        valid=jnp.take_along_axis(boxes.valid, perm, axis=1),
-        size=boxes.size,
-        fields={n: take(v) for n, v in boxes.fields.items()},
-    )
+# compact_boxes (imported from structures.boxes) stable-moves valid slots to
+# the front of the capacity dim. The reference's proposal[:1000] cap
+# (generalized_rcnn.py:202) counts REAL boxes; truncating raw padded capacity
+# instead would let the artificial-jitter block's invalid slots (G*12
+# capacity regardless of how many GTs exist) crowd out real scored proposals
+# — hence compact-then-truncate at the detector call site.
 
 
 def truncate_boxes(boxes: Boxes, k: int) -> Boxes:

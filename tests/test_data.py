@@ -109,6 +109,25 @@ def test_episodic_dataset(synthetic_coco, small_cfg):
     assert ds.ids == ds2.ids and ds.chosen_cats == ds2.chosen_cats
 
 
+def test_global_rng_stream_matches_reference_post_shuffle(synthetic_coco, small_cfg):
+    """Support selection draws from the global RNG; the reference's stream
+    starts from the state AFTER seed(6666) + global shuffle of the episodic
+    index list (ref coco.py:70,196). Our shuffle uses a private Random to be
+    race-free, then syncs the global state — the post-construction global
+    draw stream must be bit-identical to the reference's."""
+    import random
+
+    ann_file, img_dir = synthetic_coco
+    ds = COCODataset(small_cfg, ann_file, img_dir, is_train=True)
+    got = [random.random() for _ in range(4)]
+
+    # reference semantics, replayed standalone
+    random.seed(6666)
+    random.shuffle(list(range(len(ds))))
+    want = [random.random() for _ in range(4)]
+    assert got == want
+
+
 def test_class_exclusion(synthetic_coco, small_cfg):
     ann_file, img_dir = synthetic_coco
     c = small_cfg.clone()

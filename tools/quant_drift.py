@@ -124,9 +124,10 @@ def main():
     model_f = build_detection_model(make_cfg("none"))
     model_q = build_detection_model(make_cfg(args.variant_quant,
                                              args.roi_topk))
-    variant = args.variant_quant
+    levers = ([] if args.variant_quant == "none" else [args.variant_quant])
     if args.roi_topk:
-        variant += ("+" if variant != "none" else "") + f"topk{args.roi_topk}"
+        levers.append(f"topk{args.roi_topk}")
+    variant = "+".join(levers) if levers else "none"
 
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
