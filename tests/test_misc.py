@@ -115,3 +115,42 @@ def test_concat_and_list_datasets(tmp_path):
     assert cat.get_img_info(2)[0]["width"] == 12
     item = cat[1]
     assert item["idx"] == 1
+
+
+def test_perf_table_collect_and_render(tmp_path):
+    """tools/perf_table.py: bench logs and driver BENCH_r*.json both parse;
+    later sources win; render produces one row per metric."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "perf_table",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "perf_table.py"),
+    )
+    pt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pt)
+
+    log = tmp_path / "bench.log"
+    log.write_text(
+        'noise\n'
+        '{"metric": "oneshot_eval_images_per_sec_per_chip", "value": 120.0, '
+        '"unit": "images/sec", "vs_baseline": 0.19, '
+        '"mfu_vs_v5e_bf16_peak": 0.25}\n'
+        '{"metric": "oneshot_p50_latency_ms", "value": 34.0, "unit": "ms"}\n'
+    )
+    driver = tmp_path / "BENCH_r09.json"
+    driver.write_text(json.dumps({
+        "rc": 0,
+        "tail": '{"metric": "oneshot_eval_images_per_sec_per_chip", '
+                '"value": 150.0, "unit": "images/sec", "vs_baseline": 0.24}\n',
+        "parsed": {"metric": "oneshot_eval_images_per_sec_per_chip",
+                   "value": 150.0, "unit": "images/sec", "vs_baseline": 0.24},
+    }))
+
+    recs = pt.collect([str(log), str(driver)])  # later file wins
+    assert recs["oneshot_eval_images_per_sec_per_chip"]["value"] == 150.0
+    assert recs["oneshot_p50_latency_ms"]["value"] == 34.0
+    table = pt.render(recs)
+    assert "**150.0**" in table and "**34.0**" in table
+    assert table.count("\n") == 3  # header + separator + 2 rows
