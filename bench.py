@@ -244,13 +244,17 @@ def _run_secondaries(args):
 
     extra = {}
     secondaries = (
+        # stage-2 proposal compaction alone — measured round 3 as the best
+        # single lever (int8 alone was SLOWER than bf16: dynamic activation
+        # quant adds 3 extra HBM passes per conv; see BENCH_LOCAL_r03.log)
+        ("eval", ["--roi-topk", "512"]),
+        # best-case production protocol: topk + cached supports (fast-eval
+        # preset without int8)
+        ("eval_cached", ["--roi-topk", "512"]),
         ("eval_cached", []),
-        ("eval", ["--quant", "int8"]),  # int8 conv-stack variant (TPU.QUANT)
-        # combined workload levers: int8 stack + stage-2 proposal compaction
-        # (drift bounds: tools/quant_drift.py, tests/test_roi_compaction.py)
+        # int8 variants kept for the record (drift bounds:
+        # tools/quant_drift.py, tests/test_roi_compaction.py)
         ("eval", ["--quant", "int8", "--roi-topk", "512"]),
-        # best-case production protocol: every lever at once (the fast-eval
-        # preset + cached supports)
         ("eval_cached", ["--quant", "int8", "--roi-topk", "512"]),
         ("latency", []),
         ("train", []),

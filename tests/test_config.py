@@ -66,14 +66,16 @@ def test_all_shipped_and_reference_yamls_load():
 
 def test_fast_eval_preset_sets_round3_levers():
     """The fast-eval preset differs from the flagship ONLY by the opt-in
-    eval levers (TPU.QUANT=int8 + TPU.EVAL_ROI_TOPK=512) — same model keys,
-    so the same checkpoints load."""
+    eval levers — same model keys, so the same checkpoints load. Since the
+    round-3 on-chip measurement, the preset is bf16 + TPU.EVAL_ROI_TOPK=512
+    (int8 measured SLOWER end-to-end on v5e: 171.6 vs 194.2 img/s at
+    topk512 — see the preset header and README perf table)."""
     here = os.path.join(os.path.dirname(__file__), "..", "configs")
     base = cfg.clone()
     base.merge_from_file(os.path.join(here, "oneshot_fcos_r50.yaml"))
     fast = cfg.clone()
     fast.merge_from_file(os.path.join(here, "oneshot_fcos_r50_fast_eval.yaml"))
-    assert fast.TPU.QUANT == "int8"
+    assert fast.TPU.QUANT == "none"
     assert fast.TPU.EVAL_ROI_TOPK == 512
     fast.TPU.QUANT = base.TPU.QUANT
     fast.TPU.EVAL_ROI_TOPK = base.TPU.EVAL_ROI_TOPK
