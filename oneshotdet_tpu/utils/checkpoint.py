@@ -46,9 +46,10 @@ def merge_with_unload(loaded, fresh, unload_keywords: Sequence[str]):
 
 
 class Checkpointer:
-    def __init__(self, save_dir: str, logger=None):
+    def __init__(self, save_dir: str, logger=None, cfg=None):
         self.save_dir = os.path.abspath(save_dir)
         self.logger = logger
+        self.cfg = cfg  # for cfg.PATHS_CATALOG ModelCatalog overrides
         os.makedirs(self.save_dir, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer() if ocp else None
 
@@ -106,6 +107,13 @@ class Checkpointer:
         if not f:
             self._log("No checkpoint found. Initializing model from scratch")
             return state
+        if f.startswith(("catalog://", "http://", "https://", "file://")):
+            # catalog:// ModelCatalog lookup + URL download cache
+            # (reference DetectronCheckpointer._load_file,
+            # checkpoint.py:133-145 + model_zoo.py:20)
+            from .model_zoo import resolve_weight_path
+
+            f = resolve_weight_path(f, cfg=self.cfg, logger=self.logger)
         self._log(f"Loading checkpoint from {f}")
         if f.endswith(".pth") or f.endswith(".pkl"):
             # reference torch / Caffe2 checkpoints: weights only

@@ -89,7 +89,7 @@ def main():
             constants=variables.get("constants", {}),
             opt_state=optimizer.init(variables["params"]),
         )
-        ckptr = Checkpointer(os.path.dirname(args.ckpt) or ".", logger)
+        ckptr = Checkpointer(os.path.dirname(args.ckpt) or ".", logger, cfg=c)
         state = ckptr.load(state, f=args.ckpt, resume=False)
         variables = {"params": state.params, "constants": state.constants}
 

@@ -72,7 +72,7 @@ def main():
             logger.info(f"torch import: {len(matched)} matched, {len(unmatched)} unmatched")
             vars_ = {"params": converted["params"], "constants": converted["constants"]}
         elif ckpt_path:
-            ckptr = Checkpointer(os.path.dirname(ckpt_path) or ".", logger)
+            ckptr = Checkpointer(os.path.dirname(ckpt_path) or ".", logger, cfg=c)
             optimizer, _ = make_optimizer(c, variables["params"])
 
             class _S:  # minimal state shim for Checkpointer.load

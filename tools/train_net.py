@@ -94,7 +94,7 @@ def main():
     optimizer, _ = make_optimizer(c, variables["params"])
     state = create_train_state(model, optimizer, variables)
 
-    checkpointer = Checkpointer(c.OUTPUT_DIR, logger)
+    checkpointer = Checkpointer(c.OUTPUT_DIR, logger, cfg=c)
     if c.MODEL.FSS_WEIGHT:
         # dual-checkpoint FSS load (reference tools/train_net.py:100-110):
         # stage-1 (fcos) weights come from FSS_WEIGHT, everything else from
