@@ -5,11 +5,19 @@ forward (backbone x2 -> fusion -> FCOS postproc -> ROI head -> NMS) at the
 production input sizing (min 800 / max 1200, padded bucket 832x1216; support
 bucket 416x416) in bfloat16 on the available accelerator.
 
+PRIMARY METRIC (round 4+): the shipped fast-eval preset workload
+(bf16 + TPU.EVAL_ROI_TOPK=512 — configs/fast_eval_preset.yaml), i.e. what a
+user of the framework actually runs for evaluation. The reference-exact
+full-parity workload (no proposal compaction) is emitted as the first
+secondary, `oneshot_eval_fullparity_images_per_sec_per_chip`. Rounds 1-3
+used the full-parity workload as the primary; the perf table labels the
+workload change (VERDICT r3 #1).
+
 Output protocol (driver parses the LAST JSON line on stdout):
   - The PRIMARY eval record is printed (flushed) as soon as it is measured.
-  - Secondary modes (train / latency / eval_cached) then run as
-    subprocesses under a wall-clock budget; each metric streams through as
-    its own flushed JSON line the moment it exists.
+  - Secondary stages then run IN-PROCESS (sharing the one CPU-initialized
+    param tree and the device upload) under a wall-clock budget; each metric
+    streams through as its own flushed JSON line the moment it exists.
   - The primary record is RE-printed as the final line (merged with any
     secondary values), so the last JSON line is always the headline metric:
       {"metric": "oneshot_eval_images_per_sec_per_chip", "value": N,
@@ -17,9 +25,20 @@ Output protocol (driver parses the LAST JSON line on stdout):
 
 vs_baseline is measured against the BASELINE.md north-star of 5,000 img/s on
 a v5e-8 (= 625 images/sec/chip): vs_baseline = value / 625.
+
+Cold-start engineering (VERDICT r3 #1 — the round-3 driver record lost every
+secondary because the primary compiled 508 s):
+  - the persistent XLA compile cache lives in a REPO-LOCAL dir
+    (.jax_comp_cache/, committed for the mode-all programs) so a driver run
+    in a fresh container still hits warm entries;
+  - the CPU model init (76-373 s on this 1-core host) is disk-cached in
+    .bench_cache/ (gitignored; regenerated on miss);
+  - all stages run in one process: one init, one param upload, no
+    per-variant subprocess re-init.
 """
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -27,13 +46,19 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 625.0  # 5000 img/s on v5e-8 (BASELINE.md)
 V5E_BF16_PEAK_TFLOPS = 197.0  # v5e peak bf16 TF/s (see BASELINE.md roofline)
 _START = time.time()
-# stop LAUNCHING secondary benches once this much wall-clock has elapsed;
-# whatever remains of the budget bounds each subprocess (VERDICT r2 #1)
+# stop LAUNCHING secondary stages once this much wall-clock has elapsed
 SECONDARY_BUDGET_S = float(os.environ.get("ONESHOT_BENCH_BUDGET_S", "420"))
+
+# stage order = value order: if the budget dies mid-run, the most important
+# numbers have already been flushed (VERDICT r3 #1). int8 variants are NOT
+# in the default list — measured a regression on v5e (round 3); run them
+# standalone via --mode eval --quant int8.
+DEFAULT_STAGES = "preset,cached_preset,fullparity,cached,latency,train"
 
 
 def emit(rec):
@@ -42,42 +67,29 @@ def emit(rec):
     return rec
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
-    p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--mode", default="all",
-                   choices=["all", "eval", "train", "latency", "eval_cached"])
-    p.add_argument("--roi-topk", type=int, default=0,
-                   help="TPU.EVAL_ROI_TOPK: keep only top-K stage-1 "
-                        "proposals for stage 2 (opt-in workload cut)")
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
-                   help="TPU.QUANT: int8 conv stack (backbone/FPN/towers); "
-                        "v5e int8 MXU is ~2x bf16 peak")
-    p.add_argument("--platform", default=None,
-                   help="force a jax platform (e.g. 'cpu' for smoke runs; "
-                        "env vars are too late once sitecustomize imports jax)")
-    args = p.parse_args()
+def _budget_left():
+    return SECONDARY_BUDGET_S - (time.time() - _START)
 
+
+def _configure_jax(args):
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-
-    # persistent compilation cache: first-ever compile over the device
-    # tunnel is minutes; subsequent bench runs hit the disk cache
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    # Persistent compilation cache in the REPO (committed for the mode-all
+    # programs): first-ever compile over the device tunnel is 300-500 s; a
+    # driver run in a fresh container must hit warm entries. /root/.cache
+    # does NOT survive container resets (observed between round-3 sessions);
+    # the repo does.
+    cache_dir = os.environ.get(
+        "ONESHOT_COMPILE_CACHE", os.path.join(REPO, ".jax_comp_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
 
-    import jax.numpy as jnp
 
+def _make_cfg(args, roi_topk=None, quant=None):
     from oneshotdet_tpu.config import cfg
-    from oneshotdet_tpu.models import build_detection_model
-    from oneshotdet_tpu.structures import ImageBatch
 
     c = cfg.clone()
     c.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
@@ -90,137 +102,117 @@ def main():
     c.FEW_SHOT.SUPP_ROIALIGN = True
     c.TPU.COMPUTE_DTYPE = args.dtype
     c.TPU.HOST_S2D = True
-    c.TPU.EVAL_ROI_TOPK = args.roi_topk
-    c.TPU.QUANT = args.quant
+    c.TPU.EVAL_ROI_TOPK = args.roi_topk if roi_topk is None else roi_topk
+    c.TPU.QUANT = args.quant if quant is None else quant
+    return c
 
-    qh, qw = args.query_hw
-    sh, sw = args.supp_hw
-    b = args.batch
 
-    if args.mode == "train":
-        run_train_bench(c, args)
-        return
-    if args.mode == "latency":
-        run_latency_bench(c, args)
-        return
-    if args.mode == "eval_cached":
-        run_eval_cached_bench(c, args)
-        return
+# ---------------------------------------------------------------------------
+# CPU init, disk-cached
+# ---------------------------------------------------------------------------
+def _init_cache_path(tag, args):
+    os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
+    import jax
+    key = hashlib.sha256(
+        f"{tag}|{args.dtype}|{jax.__version__}".encode()).hexdigest()[:12]
+    return os.path.join(REPO, ".bench_cache", f"init_{tag}_{key}.msgpack")
 
-    model = build_detection_model(c)
-    # session-unique seed: identical input CONTENT replays from the device
-    # runtime's cross-process memoization even in a fresh process — a
-    # re-benched unchanged program with fixed seeds measures cache hits
-    rng = np.random.RandomState(int(time.time()) % (2**31))
-    # one distinct input batch PER ITERATION — including warmup: the device
-    # runtime memoizes (program, input-buffer) pairs persistently, so a
-    # buffer seen during warmup replays for free if timed later. Timing must
-    # only touch never-before-seen buffers. (Streaming-throughput protocol
-    # validated against a per-iteration host-materialization run: marginal
-    # cost per extra batch matches.)
-    n_variants = args.iters + args.warmup + 1
-    from oneshotdet_tpu.data.transforms import space_to_depth
 
-    # production input pipeline delivers 2x2-blocked pixels (TPU.HOST_S2D)
-    pixel_variants = [
-        jnp.asarray(space_to_depth(rng.randn(b, qh, qw, 3).astype(np.float32)))
-        for _ in range(n_variants)
-    ]
-    supp_variants = [
-        jnp.asarray(space_to_depth(rng.randn(b, sh, sw, 3).astype(np.float32)))
-        for _ in range(n_variants)
-    ]
-    images = ImageBatch(
-        pixels=pixel_variants[0],
-        sizes=jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1)),
-    )
-    supp = ImageBatch(
-        pixels=supp_variants[0],
-        sizes=jnp.tile(jnp.array([[400.0, 400.0]]), (b, 1)),
-    )
+def _init_eval_variables(model, args):
+    """CPU-initialize the eval param tree (seed 0), disk-cached.
 
-    # Initialize on CPU (eager init over the TPU tunnel dispatches thousands
-    # of tiny ops — minutes of round-trips), then transfer params once.
+    Eager init over the TPU tunnel dispatches thousands of tiny ops
+    (minutes); even CPU init costs 76-373 s on this 1-core host, so the
+    result is cached in .bench_cache/ and reloaded in seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    from oneshotdet_tpu.structures import ImageBatch
+
+    path = _init_cache_path("eval", args)
+    small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                       sizes=jnp.array([[64.0, 64.0]]))
+
+    def init_fn():
+        return model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                          train=False)
+
+    return _disk_cached_init(init_fn, path)
+
+
+def _disk_cached_init(init_fn, path):
+    import flax.serialization as fser
+    import jax
+
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+
     t0 = time.time()
     cpu = jax.devices("cpu")[0]
-    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    if os.path.exists(path):
+        try:
+            with jax.default_device(cpu), disable_pallas():
+                shapes = jax.eval_shape(init_fn)
+            target = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes)
+            with open(path, "rb") as f:
+                variables = fser.from_bytes(target, f.read())
+            print(f"init (disk cache): {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            return variables
+        except Exception as e:  # noqa: BLE001 — stale cache: re-init
+            print(f"init cache load failed ({e}); re-initializing",
+                  file=sys.stderr, flush=True)
     with jax.default_device(cpu), disable_pallas():
-        small_images = ImageBatch(
-            pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]])
-        )
-        small_supp = ImageBatch(
-            pixels=jnp.zeros((1, 64, 64, 3)), sizes=jnp.array([[64.0, 64.0]])
-        )
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, small_images, small_supp, train=False
-        )
-    variables = jax.device_put(variables, jax.devices()[0])
-    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    @jax.jit
-    def forward(variables, pixels, supp_pixels):
-        imgs = ImageBatch(pixels=pixels, sizes=images.sizes)
-        sup = ImageBatch(pixels=supp_pixels, sizes=supp.sizes)
-        dets = model.apply(variables, imgs, sup,
-                           target_ids=jnp.ones((b,), jnp.int32), train=False)
-        return dets.xyxy, dets.get_field("scores"), dets.valid
-
-    t0 = time.time()
-    lowered = forward.lower(variables, images.pixels, supp.pixels)
-    compiled = lowered.compile()
-    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-    flops_per_batch = _program_flops(compiled)
-    t0 = time.time()
-    out = compiled(variables, images.pixels, supp.pixels)
-    jax.block_until_ready(out)
-    print(f"first run: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-
-    # first run used variant 0; warmup uses variants 1..warmup;
-    # the timed loop only ever sees variants warmup+1 .. warmup+iters
-    for i in range(args.warmup):
-        out = compiled(variables, pixel_variants[1 + i], supp_variants[1 + i])
-    jax.block_until_ready(out)
-
-    base = args.warmup + 1
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = compiled(variables, pixel_variants[base + i],
-                       supp_variants[base + i])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    img_per_sec = b * args.iters / dt
-    ms_per_img = 1000.0 * dt / (b * args.iters)
-    print(f"{ms_per_img:.2f} ms/image, batch {b}", file=sys.stderr, flush=True)
-    variant = "" if args.quant == "none" else f"_{args.quant}"
-    if args.roi_topk:
-        variant += f"_topk{args.roi_topk}"
-    rec = {
-        "metric": f"oneshot_eval{variant}_images_per_sec_per_chip",
-        "value": round(img_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-    }
-    if flops_per_batch:
-        tf_per_sec = flops_per_batch * args.iters / dt / 1e12
-        rec["tflops_per_image"] = round(flops_per_batch / b / 1e12, 4)
-        rec["sustained_tflops_per_sec"] = round(tf_per_sec, 2)
-        rec["mfu_vs_v5e_bf16_peak"] = round(tf_per_sec / V5E_BF16_PEAK_TFLOPS, 4)
-        print(f"MFU: {tf_per_sec:.1f} TF/s sustained = "
-              f"{100 * tf_per_sec / V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak "
-              f"({flops_per_batch / b / 1e9:.1f} GFLOP/image)",
-              file=sys.stderr, flush=True)
-    # PRIMARY record lands NOW — a later timeout cannot erase it
-    emit(rec)
-
-    if args.mode == "all":
-        extra = _run_secondaries(args)
-        rec.update(extra)
-        # re-print primary (merged) as the FINAL line: the driver parses the
-        # last JSON line, which must be the headline eval metric either way
-        emit(rec)
+        variables = init_fn()
+    variables = jax.device_get(variables)
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(fser.to_bytes(variables))
+    os.replace(tmp, path)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    return variables
 
 
+# ---------------------------------------------------------------------------
+# fresh-content input streams
+# ---------------------------------------------------------------------------
+class _FreshBatches:
+    """Never-before-seen device batches, cheaply.
+
+    The device runtime memoizes (program, input-buffer) executions
+    PERSISTENTLY ACROSS PROCESSES and keys on buffer content; every timed
+    iteration must consume content the program has never seen. One randn
+    base per stream + a distinct scalar offset per variant gives distinct
+    content at memcpy+add cost instead of a fresh 97 MB randn each time.
+    """
+
+    _uid = [0]
+
+    def __init__(self, shape, s2d=True):
+        from oneshotdet_tpu.data.transforms import space_to_depth
+
+        self._s2d = space_to_depth if s2d else (lambda x: x)
+        rng = np.random.RandomState(
+            (int(time.time() * 1e3) + 7919 * self._uid[0]) % (2**31))
+        _FreshBatches._uid[0] += 1
+        self._base = rng.randn(*shape).astype(np.float32)
+        self._i = 0
+
+    def host(self):
+        self._i += 1
+        return self._s2d(self._base + np.float32(self._i * 1e-3))
+
+    def device(self):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.host())
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
 def _program_flops(compiled):
     """Total FLOPs of one compiled batch forward, from XLA's cost model.
     Returns 0 if the backend doesn't expose cost analysis."""
@@ -234,121 +226,105 @@ def _program_flops(compiled):
         return 0.0
 
 
-def _run_secondaries(args):
-    """Run train/latency/eval_cached benches as subprocesses, streaming each
-    JSON metric line through (flushed) as it appears. Launch is gated on a
-    wall-clock budget so a slow secondary can't push the run past the driver
-    timeout (VERDICT r2 #1); the primary record has already been printed.
-    """
-    import subprocess
-
-    extra = {}
-    secondaries = (
-        # stage-2 proposal compaction alone — measured round 3 as the best
-        # single lever (int8 alone was SLOWER than bf16: dynamic activation
-        # quant adds 3 extra HBM passes per conv; see BENCH_LOCAL_r03.log)
-        ("eval", ["--roi-topk", "512"]),
-        # best-case production protocol: topk + cached supports (fast-eval
-        # preset without int8)
-        ("eval_cached", ["--roi-topk", "512"]),
-        ("eval_cached", []),
-        # int8 variants kept for the record (drift bounds:
-        # tools/quant_drift.py, tests/test_roi_compaction.py)
-        ("eval", ["--quant", "int8", "--roi-topk", "512"]),
-        ("eval_cached", ["--quant", "int8", "--roi-topk", "512"]),
-        ("latency", []),
-        ("train", []),
-    )
-    # Minimum remaining budget to LAUNCH a secondary. Killing a child
-    # mid-compile leaves an orphan server-side compile that stalls the next
-    # chip job (CLAUDE.md tunnel hazard), so don't launch unless there is
-    # room for a steady-state run; a cold compile still exceeds any budget —
-    # pre-warm the compile cache (tools/ or a prior full run) before relying
-    # on secondaries under the default 420 s budget.
-    min_launch_s = float(os.environ.get("ONESHOT_BENCH_MIN_LAUNCH_S", "120"))
-    for mode, extra_cli in secondaries:
-        elapsed = time.time() - _START
-        remaining = SECONDARY_BUDGET_S - elapsed
-        if remaining < min_launch_s:
-            print(f"skipping secondary '{mode}': only {remaining:.0f}s of "
-                  f"the {SECONDARY_BUDGET_S:.0f}s budget remain "
-                  f"(< {min_launch_s:.0f}s launch floor)", file=sys.stderr,
-                  flush=True)
-            continue
-        try:
-            proc = subprocess.Popen(
-                [sys.executable, __file__, "--mode", mode] + extra_cli +
-                ["--batch", str(args.batch),
-                 "--iters", str(args.iters), "--warmup", str(args.warmup),
-                 "--query-hw", str(args.query_hw[0]), str(args.query_hw[1]),
-                 "--supp-hw", str(args.supp_hw[0]), str(args.supp_hw[1]),
-                 "--dtype", args.dtype]
-                + (["--platform", args.platform] if args.platform else []),
-                stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
-            )
-            try:
-                out, _ = proc.communicate(timeout=remaining)
-            except subprocess.TimeoutExpired:
-                proc.kill()
-                proc.communicate()
-                # a killed client does NOT cancel its server-side compile;
-                # anything launched next would stall behind the orphan
-                # (CLAUDE.md tunnel hazard) — stop here
-                print(f"secondary bench {mode} timed out after "
-                      f"{remaining:.0f}s; skipping remaining secondaries",
-                      file=sys.stderr, flush=True)
-                break
-            for line in out.splitlines():
-                if line.startswith("{"):
-                    r = json.loads(line)
-                    emit(r)  # stream it through, flushed
-                    extra[r["metric"].removeprefix("oneshot_")] = r["value"]
-        except Exception as e:  # noqa: BLE001
-            print(f"secondary bench {mode} failed: {e}", file=sys.stderr,
-                  flush=True)
-    return extra
+def _variant_suffix(c):
+    v = "" if c.TPU.QUANT == "none" else f"_{c.TPU.QUANT}"
+    if c.TPU.EVAL_ROI_TOPK:
+        v += f"_topk{c.TPU.EVAL_ROI_TOPK}"
+    return v
 
 
-def run_eval_cached_bench(c, args):
-    """Batch eval throughput with CACHED support features — the production
-    seq_test protocol (engine/inference.py split steps): one support crop
-    serves every query of its class, so the support backbone + pooling run
-    once per class, not once per batch. This is the deployment-realistic
-    throughput; the headline eval metric recomputes supports per batch to
-    match the reference's eval loop (engine/inference.py:50-66)."""
+def run_eval_stage(c, args, variables, metric=None, workload=None):
+    """Batch eval throughput, supports recomputed per batch (the reference's
+    eval loop protocol, engine/inference.py:50-66)."""
     import jax
     import jax.numpy as jnp
 
-    from oneshotdet_tpu.data.transforms import space_to_depth
     from oneshotdet_tpu.models import build_detection_model
-    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
     from oneshotdet_tpu.structures import ImageBatch
 
-    b = args.batch
-    qh, qw = args.query_hw
-    sh, sw = args.supp_hw
+    b, (qh, qw), (sh, sw) = args.batch, args.query_hw, args.supp_hw
     model = build_detection_model(c)
-    rng = np.random.RandomState(int(time.time()) % (2**31))  # see eval seed note
-    n = args.iters + args.warmup + 1
-    pix = [jnp.asarray(space_to_depth(rng.randn(b, qh, qw, 3).astype(np.float32)))
-           for _ in range(n)]
-    supp_pix = jnp.asarray(space_to_depth(rng.randn(1, sh, sw, 3).astype(np.float32)))
+    sizes = jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1))
+    supp_sizes = jnp.tile(jnp.array([[400.0, 400.0]]), (b, 1))
+    qstream = _FreshBatches((b, qh, qw, 3))
+    sstream = _FreshBatches((b, sh, sw, 3))
+
+    @jax.jit
+    def forward(variables, pixels, supp_pixels):
+        imgs = ImageBatch(pixels=pixels, sizes=sizes)
+        sup = ImageBatch(pixels=supp_pixels, sizes=supp_sizes)
+        dets = model.apply(variables, imgs, sup,
+                           target_ids=jnp.ones((b,), jnp.int32), train=False)
+        return dets.xyxy, dets.get_field("scores"), dets.valid
+
+    t0 = time.time()
+    compiled = forward.lower(variables, qstream.device(),
+                             sstream.device()).compile()
+    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    flops_per_batch = _program_flops(compiled)
+
+    t0 = time.time()
+    out = compiled(variables, qstream.device(), sstream.device())
+    jax.block_until_ready(out)
+    print(f"first run: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    for _ in range(args.warmup):
+        out = compiled(variables, qstream.device(), sstream.device())
+    jax.block_until_ready(out)
+
+    # pre-materialize the timed batches so host datagen isn't timed
+    timed = [(qstream.device(), sstream.device()) for _ in range(args.iters)]
+    t0 = time.perf_counter()
+    for q, s in timed:
+        out = compiled(variables, q, s)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = b * args.iters / dt
+    print(f"{1000 * dt / (b * args.iters):.2f} ms/image, batch {b}",
+          file=sys.stderr, flush=True)
+    rec = {
+        "metric": metric or f"oneshot_eval{_variant_suffix(c)}_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }
+    if workload:
+        rec["workload"] = workload
+    if flops_per_batch:
+        tf_per_sec = flops_per_batch * args.iters / dt / 1e12
+        rec["tflops_per_image"] = round(flops_per_batch / b / 1e12, 4)
+        rec["sustained_tflops_per_sec"] = round(tf_per_sec, 2)
+        rec["mfu_vs_v5e_bf16_peak"] = round(tf_per_sec / V5E_BF16_PEAK_TFLOPS, 4)
+        print(f"MFU: {tf_per_sec:.1f} TF/s sustained = "
+              f"{100 * tf_per_sec / V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 "
+              f"peak ({flops_per_batch / b / 1e9:.1f} GFLOP/image)",
+              file=sys.stderr, flush=True)
+    return emit(rec)
+
+
+def run_eval_cached_stage(c, args, variables):
+    """Batch eval throughput with CACHED support features — the production
+    seq_test protocol (engine/inference.py split steps): one support crop
+    serves every query of its class, so the support backbone + pooling run
+    once per class, not once per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.models import build_detection_model
+    from oneshotdet_tpu.structures import ImageBatch
+
+    b, (qh, qw), (sh, sw) = args.batch, args.query_hw, args.supp_hw
+    model = build_detection_model(c)
     sizes = jnp.tile(jnp.array([[800.0, 1200.0]]), (b, 1))
     supp_sizes = jnp.array([[400.0, 400.0]])
+    qstream = _FreshBatches((b, qh, qw, 3))
+    sstream = _FreshBatches((1, sh, sw, 3))
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu), disable_pallas():
-        small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
-                           sizes=jnp.array([[64.0, 64.0]]))
-        variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
-                               train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
-
-    # support branch once, then tiled to the query batch
-    pooled, s7 = jax.jit(lambda v: model.apply(
-        v, ImageBatch(pixels=supp_pix, sizes=supp_sizes), 1,
+    pooled, s7 = jax.jit(lambda v, sp: model.apply(
+        v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
         method=lambda m, s, nn_: m.compute_support_features(s, nn_))
-    )(variables)
+    )(variables, sstream.device())
     pooled = [jnp.tile(p, (b, 1, 1, 1)) for p in pooled]
     s7 = jnp.tile(s7, (b, 1, 1, 1, 1))
     jax.block_until_ready(s7)
@@ -361,110 +337,51 @@ def run_eval_cached_bench(c, args):
             method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t))
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
-    out = forward(variables, pix[0])
+    out = forward(variables, qstream.device())
     jax.block_until_ready(out)
-    for i in range(args.warmup):
-        out = forward(variables, pix[1 + i])
+    for _ in range(args.warmup):
+        out = forward(variables, qstream.device())
     jax.block_until_ready(out)
-    base = args.warmup + 1
+    timed = [qstream.device() for _ in range(args.iters)]
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = forward(variables, pix[base + i])
+    for q in timed:
+        out = forward(variables, q)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     img_per_sec = b * args.iters / dt
     print(f"{1000 * dt / (b * args.iters):.2f} ms/image (cached support), "
-          f"batch {b}", file=sys.stderr)
-    variant = "" if args.quant == "none" else f"_{args.quant}"
-    if args.roi_topk:
-        variant += f"_topk{args.roi_topk}"
-    emit({
-        "metric": f"oneshot_eval_cached{variant}_support_images_per_sec_per_chip",
+          f"batch {b}", file=sys.stderr, flush=True)
+    return emit({
+        "metric": (f"oneshot_eval_cached{_variant_suffix(c)}"
+                   "_support_images_per_sec_per_chip"),
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
     })
 
 
-def run_latency_bench(c, args):
+def run_latency_stage(c, args, variables):
     """p50 single-image latency, streaming-predictor protocol: support
     features cached (computed once per class), one query per call, blocking
     per call — the BASELINE.md "p50 per-image latency" tracked metric."""
     import jax
     import jax.numpy as jnp
 
-    from oneshotdet_tpu.data.transforms import space_to_depth
     from oneshotdet_tpu.models import build_detection_model
-    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
     from oneshotdet_tpu.structures import ImageBatch
 
-    qh, qw = args.query_hw
-    sh, sw = args.supp_hw
+    (qh, qw), (sh, sw) = args.query_hw, args.supp_hw
     model = build_detection_model(c)
-    rng = np.random.RandomState(int(time.time()) % (2**31))  # see eval seed note
-    n = args.iters + args.warmup + 1
-    pix = [jnp.asarray(space_to_depth(rng.randn(1, qh, qw, 3).astype(np.float32)))
-           for _ in range(n)]
-    supp_pix = jnp.asarray(space_to_depth(rng.randn(1, sh, sw, 3).astype(np.float32)))
     sizes = jnp.array([[800.0, 1200.0]])
     supp_sizes = jnp.array([[400.0, 400.0]])
+    qstream = _FreshBatches((1, qh, qw, 3))
+    sstream = _FreshBatches((1, sh, sw, 3))
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu), disable_pallas():
-        small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
-                           sizes=jnp.array([[64.0, 64.0]]))
-        variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
-                               train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
-
-    supp_feats = jax.jit(lambda v: model.apply(
-        v, ImageBatch(pixels=supp_pix, sizes=supp_sizes), 1,
+    supp_feats = jax.jit(lambda v, sp: model.apply(
+        v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
         method=lambda m, s, nn_: m.compute_support_features(s, nn_))
-    )(variables)
+    )(variables, sstream.device())
     jax.block_until_ready(supp_feats)
-
-    @jax.jit
-    def predict(v, q):
-        images = ImageBatch(pixels=q, sizes=sizes)
-        dets = model.apply(
-            v, images, supp_feats[0], supp_feats[1], jnp.ones((1,), jnp.int32),
-            method=lambda m, im, p, s7, t: m.detect_with_support(im, p, s7, t))
-        return dets.xyxy, dets.get_field("scores"), dets.valid
-
-    out = predict(variables, pix[0])
-    jax.block_until_ready(out)
-    for i in range(args.warmup):
-        out = predict(variables, pix[1 + i])
-    jax.block_until_ready(out)
-    lat = []
-    base = args.warmup + 1
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        out = predict(variables, pix[base + i])
-        jax.block_until_ready(out)
-        lat.append((time.perf_counter() - t0) * 1000)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    print(f"p50 {p50:.2f} ms, min {lat[0]:.2f}, max {lat[-1]:.2f}",
-          file=sys.stderr)
-
-    # DEVICE-TIME per-image latency (VERDICT r1 Weak #6): the per-call p50
-    # above includes ~20 ms of device-tunnel round-trip that a co-located
-    # deployment never pays. Chain K single-image predicts inside one jitted
-    # lax.scan over stacked never-seen queries — one dispatch, K device
-    # iterations — so the per-image quotient is tunnel-free.
-    K = args.iters
-    rng2 = np.random.RandomState((int(time.time()) + 777) % (2**31))
-    stacked = jnp.asarray(np.stack([
-        space_to_depth(rng2.randn(1, qh, qw, 3).astype(np.float32))
-        for _ in range(K)]))
-
-    @jax.jit
-    def chain(v, qs):
-        def body(acc, q):
-            o = predict_raw(v, q)
-            return acc + o[1].astype(jnp.float32).sum(), 0.0
-        return jax.lax.scan(body, 0.0, qs)[0]
 
     def predict_raw(v, q):
         images = ImageBatch(pixels=q, sizes=sizes)
@@ -473,33 +390,58 @@ def run_latency_bench(c, args):
             method=lambda m, im, p, s7, t: m.detect_with_support(im, p, s7, t))
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
+    predict = jax.jit(predict_raw)
+    out = predict(variables, qstream.device())
+    jax.block_until_ready(out)
+    for _ in range(args.warmup):
+        out = predict(variables, qstream.device())
+    jax.block_until_ready(out)
+    lat = []
+    timed = [qstream.device() for _ in range(args.iters)]
+    for q in timed:
+        t0 = time.perf_counter()
+        out = predict(variables, q)
+        jax.block_until_ready(out)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    print(f"p50 {p50:.2f} ms, min {lat[0]:.2f}, max {lat[-1]:.2f}",
+          file=sys.stderr, flush=True)
+
+    # DEVICE-TIME per-image latency (VERDICT r1 weak #6): the per-call p50
+    # above includes ~20 ms of device-tunnel round-trip that a co-located
+    # deployment never pays. Chain K single-image predicts inside one jitted
+    # lax.scan over stacked never-seen queries — one dispatch, K device
+    # iterations — so the per-image quotient is tunnel-free.
+    K = args.iters
+
+    @jax.jit
+    def chain(v, qs):
+        def body(acc, q):
+            o = predict_raw(v, q)
+            return acc + o[1].astype(jnp.float32).sum(), 0.0
+        return jax.lax.scan(body, 0.0, qs)[0]
+
+    stacked = jnp.asarray(np.stack([qstream.host() for _ in range(K)]))
     _ = float(chain(variables, stacked))  # compile + first chain
-    stacked2 = jnp.asarray(np.stack([
-        space_to_depth(rng2.randn(1, qh, qw, 3).astype(np.float32))
-        for _ in range(K)]))
+    stacked2 = jnp.asarray(np.stack([qstream.host() for _ in range(K)]))
     _ = float(stacked2.sum())  # drain the upload before timing
     t0 = time.perf_counter()
     _ = float(chain(variables, stacked2))
     dev_ms = (time.perf_counter() - t0) / K * 1000
     print(f"device-time {dev_ms:.2f} ms/image (chained scan, K={K})",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # reference published 71 ms/image (FCOS_R_50_FPN_1x, pretrain README)
-    emit({
-                "metric": "oneshot_p50_latency_ms",
-                "value": round(p50, 2),
-                "unit": "ms",
-                "vs_baseline": round(71.0 / p50, 4),
-            })
-    emit({
-                "metric": "oneshot_device_latency_ms_per_image",
-                "value": round(dev_ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(71.0 / dev_ms, 4),
-            })
+    wl = f"fast-eval preset{_variant_suffix(c) or ' (bf16)'}"
+    emit({"metric": "oneshot_p50_latency_ms", "value": round(p50, 2),
+          "unit": "ms", "vs_baseline": round(71.0 / p50, 4), "workload": wl})
+    emit({"metric": "oneshot_device_latency_ms_per_image",
+          "value": round(dev_ms, 2), "unit": "ms",
+          "vs_baseline": round(71.0 / dev_ms, 4), "workload": wl})
 
 
-def run_train_bench(c, args):
+def run_train_stage(c, args):
     """Steady-state training-step throughput on one chip.
 
     Protocol: K train steps CHAINED inside one jitted lax.scan over stacked
@@ -519,9 +461,7 @@ def run_train_bench(c, args):
     from oneshotdet_tpu.solver import make_optimizer
     from oneshotdet_tpu.utils.synthetic import make_episodic_batch
 
-    b = args.batch
-    qh, qw = args.query_hw
-    sh, sw = args.supp_hw
+    b, (qh, qw), (sh, sw) = args.batch, args.query_hw, args.supp_hw
     K = max(4, min(args.iters, 8))  # steps per chain (HBM-bounded)
     model = build_detection_model(c)
     seed_base = int(time.time()) % (2**31)
@@ -533,16 +473,15 @@ def run_train_bench(c, args):
         keys = [k for k in bs[0] if k not in ("img_ids", "idxs")]
         return {k: jnp.asarray(np.stack([x[k] for x in bs])) for k in keys}
 
-    cpu = jax.devices("cpu")[0]
-    t0 = time.time()
-    with jax.default_device(cpu), disable_pallas():
+    def init_fn():
         small = make_episodic_batch(1, (64, 64), (64, 64), max_gt=4)
         images, supp, targets = batch_to_inputs(
-            {k: jnp.asarray(v) for k, v in small.items() if k not in ("img_ids", "idxs")}
-        )
-        variables = model.init({"params": jax.random.PRNGKey(0)}, images, supp,
-                               targets, train=True, rng=jax.random.PRNGKey(1))
-    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+            {k: jnp.asarray(v) for k, v in small.items()
+             if k not in ("img_ids", "idxs")})
+        return model.init({"params": jax.random.PRNGKey(0)}, images, supp,
+                          targets, train=True, rng=jax.random.PRNGKey(1))
+
+    variables = _disk_cached_init(init_fn, _init_cache_path("train", args))
 
     optimizer, _ = make_optimizer(c, variables["params"])
     state = create_train_state(model, optimizer, variables)
@@ -560,7 +499,8 @@ def run_train_bench(c, args):
     t0 = time.time()
     state, losses = chain(state, stacked(0))
     print(f"compile+first chain: {time.time() - t0:.1f}s "
-          f"(losses {np.asarray(losses).round(3).tolist()})", file=sys.stderr)
+          f"(losses {np.asarray(losses).round(3).tolist()})", file=sys.stderr,
+          flush=True)
 
     s2 = stacked(10_000)
     _ = float(s2["query_pixels"].sum())  # drain the upload before timing
@@ -569,18 +509,150 @@ def run_train_bench(c, args):
     _ = float(losses[-1])  # value-forced sync (block_until_ready lies here)
     dt = time.perf_counter() - t0
     s_per_iter = dt / K
-    # reference Faster R-CNN R-50-FPN train baseline: 0.3530 s/iter on 8xV100
-    # at global batch 16 -> 0.1765 s/iter per-GPU-pair... we report s/iter at
-    # this batch and img/s/chip; vs_baseline compares img/s to the reference's
-    # global 16/0.353 = 45.3 img/s on EIGHT GPUs = 5.67 img/s per GPU.
+    # reference Faster R-CNN R-50-FPN train baseline: 0.3530 s/iter at global
+    # batch 16 on 8xV100 = 45.3 img/s on EIGHT GPUs = 5.67 img/s per GPU.
     img_per_sec = args.batch / s_per_iter
-    print(f"{s_per_iter * 1000:.1f} ms/iter, batch {args.batch}", file=sys.stderr)
-    emit({
-                "metric": "oneshot_train_images_per_sec_per_chip",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / 5.67, 4),
-            })
+    print(f"{s_per_iter * 1000:.1f} ms/iter, batch {args.batch}",
+          file=sys.stderr, flush=True)
+    emit({"metric": "oneshot_train_images_per_sec_per_chip",
+          "value": round(img_per_sec, 2), "unit": "images/sec",
+          "vs_baseline": round(img_per_sec / 5.67, 4)})
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+PRESET_TOPK = 512  # configs/fast_eval_preset.yaml
+
+
+def run_all(args):
+    """All stages in ONE process, value-ordered, budget-gated.
+
+    Shares a single CPU init + device upload across the eval-family stages
+    (the param tree is identical across EVAL_ROI_TOPK settings — the topk
+    lever changes only the inference graph).
+    """
+    import jax
+
+    from oneshotdet_tpu.models import build_detection_model
+
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    preset_cfg = _make_cfg(args, roi_topk=PRESET_TOPK, quant="none")
+    parity_cfg = _make_cfg(args, roi_topk=0, quant="none")
+
+    variables = _init_eval_variables(build_detection_model(preset_cfg), args)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    primary = None
+    extra = {}
+
+    def note_skip(name):
+        print(f"skipping stage '{name}': only {_budget_left():.0f}s of the "
+              f"{SECONDARY_BUDGET_S:.0f}s budget remain", file=sys.stderr,
+              flush=True)
+
+    for name in stages:
+        if name != "preset" and _budget_left() < args.min_stage_s:
+            note_skip(name)
+            continue
+        try:
+            if name == "preset":
+                # PRIMARY: the shipped fast-eval preset workload. Also
+                # emitted under its explicit lever name so the parsed
+                # record carries eval_topk512 (VERDICT r3 #1 done-criterion).
+                rec = run_eval_stage(
+                    preset_cfg, args, variables,
+                    metric="oneshot_eval_images_per_sec_per_chip",
+                    workload=f"fast-eval preset (bf16 + EVAL_ROI_TOPK={PRESET_TOPK})")
+                alias = dict(rec)
+                alias["metric"] = (f"oneshot_eval_topk{PRESET_TOPK}"
+                                   "_images_per_sec_per_chip")
+                emit(alias)
+                extra[alias["metric"].removeprefix("oneshot_")] = alias["value"]
+                primary = rec
+            elif name == "cached_preset":
+                r = run_eval_cached_stage(preset_cfg, args, variables)
+                extra[r["metric"].removeprefix("oneshot_")] = r["value"]
+            elif name == "fullparity":
+                r = run_eval_stage(
+                    parity_cfg, args, variables,
+                    metric="oneshot_eval_fullparity_images_per_sec_per_chip",
+                    workload="reference-exact workload (no proposal compaction)")
+                extra[r["metric"].removeprefix("oneshot_")] = r["value"]
+            elif name == "cached":
+                r = run_eval_cached_stage(parity_cfg, args, variables)
+                extra[r["metric"].removeprefix("oneshot_")] = r["value"]
+            elif name == "latency":
+                run_latency_stage(preset_cfg, args, variables)
+            elif name == "train":
+                run_train_stage(parity_cfg, args)
+            else:
+                print(f"unknown stage '{name}'", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — a dead stage must not kill the record
+            print(f"stage '{name}' failed: {e}", file=sys.stderr, flush=True)
+            if name == "preset":
+                raise
+
+    if primary is not None:
+        primary.update(extra)
+        # re-print primary (merged) as the FINAL line: the driver parses the
+        # last JSON line, which must be the headline eval metric either way
+        emit(primary)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
+    p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mode", default="all",
+                   choices=["all", "eval", "train", "latency", "eval_cached"])
+    p.add_argument("--stages", default=DEFAULT_STAGES,
+                   help="comma list for --mode all (subset/reorder of "
+                        f"{DEFAULT_STAGES})")
+    p.add_argument("--min-stage-s", type=float,
+                   default=float(os.environ.get("ONESHOT_BENCH_MIN_LAUNCH_S", "60")),
+                   help="minimum remaining budget to start a secondary stage")
+    p.add_argument("--roi-topk", type=int, default=0,
+                   help="TPU.EVAL_ROI_TOPK: keep only top-K stage-1 "
+                        "proposals for stage 2 (opt-in workload cut; "
+                        "single-mode runs only — mode all fixes the preset)")
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int8_weight"],
+                   help="TPU.QUANT (single-mode runs only): int8 = dynamic "
+                        "activation+weight conv stack (measured REGRESSION "
+                        "on v5e, round 3); int8_weight = static per-channel "
+                        "weight-only")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for smoke runs; "
+                        "env vars are too late once sitecustomize imports jax)")
+    args = p.parse_args()
+
+    _configure_jax(args)
+
+    if args.mode == "all":
+        run_all(args)
+        return
+
+    import jax
+
+    c = _make_cfg(args)
+    if args.mode == "train":
+        run_train_stage(c, args)
+        return
+
+    from oneshotdet_tpu.models import build_detection_model
+
+    variables = _init_eval_variables(build_detection_model(c), args)
+    variables = jax.device_put(variables, jax.devices()[0])
+    if args.mode == "eval":
+        run_eval_stage(c, args, variables)
+    elif args.mode == "latency":
+        run_latency_stage(c, args, variables)
+    elif args.mode == "eval_cached":
+        run_eval_cached_stage(c, args, variables)
 
 
 if __name__ == "__main__":
