@@ -110,15 +110,18 @@ def _make_cfg(args, roi_topk=None, quant=None):
 # ---------------------------------------------------------------------------
 # CPU init, disk-cached
 # ---------------------------------------------------------------------------
-def _init_cache_path(tag, args):
+def _init_cache_path(tag, args, quant="none"):
     os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
     import jax
+    # quant in the key when set: int8_weight trees carry a quant_scales
+    # collection ('none' keeps the legacy key so existing caches stay valid)
+    qtag = "" if quant in ("", "none", None) else f"|{quant}"
     key = hashlib.sha256(
-        f"{tag}|{args.dtype}|{jax.__version__}".encode()).hexdigest()[:12]
+        f"{tag}|{args.dtype}{qtag}|{jax.__version__}".encode()).hexdigest()[:12]
     return os.path.join(REPO, ".bench_cache", f"init_{tag}_{key}.msgpack")
 
 
-def _init_eval_variables(model, args):
+def _init_eval_variables(model, args, quant="none"):
     """CPU-initialize the eval param tree (seed 0), disk-cached.
 
     Eager init over the TPU tunnel dispatches thousands of tiny ops
@@ -131,7 +134,7 @@ def _init_eval_variables(model, args):
     from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
     from oneshotdet_tpu.structures import ImageBatch
 
-    path = _init_cache_path("eval", args)
+    path = _init_cache_path("eval", args, quant)
     small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
                        sizes=jnp.array([[64.0, 64.0]]))
 
@@ -645,7 +648,13 @@ def main():
 
     from oneshotdet_tpu.models import build_detection_model
 
-    variables = _init_eval_variables(build_detection_model(c), args)
+    variables = _init_eval_variables(build_detection_model(c), args,
+                                     quant=c.TPU.QUANT)
+    if c.TPU.QUANT == "int8_weight":
+        # offline weight-only transform: int8 kernels + per-cout scales go
+        # to the device; weight HBM traffic halves (ops/quant.py)
+        from oneshotdet_tpu.ops.quant import quantize_weights_int8
+        variables = quantize_weights_int8(variables)
     variables = jax.device_put(variables, jax.devices()[0])
     if args.mode == "eval":
         run_eval_stage(c, args, variables)

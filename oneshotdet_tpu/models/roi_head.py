@@ -97,6 +97,15 @@ class _ConcatConv1x1(nn.Module):
             from ..ops.quant import int8_dot
 
             return int8_dot(x, k2d).astype(self.dtype)
+        if self.quant == "int8_weight":
+            # fake-quant only: this kernel is sliced (query/supp halves), so
+            # it stays float in storage; per-cout rounding matches the
+            # WeightQuant modules' numerics (weight is tiny — no HBM stake)
+            from ..ops.quant import fake_quant_weight
+
+            wq, ws = fake_quant_weight(k2d)
+            k2d = wq.astype(self.dtype) * ws.astype(self.dtype)
+            return jnp.einsum("...c,cf->...f", x, k2d)
         return jnp.einsum("...c,cf->...f", x, k2d.astype(self.dtype))
 
     def query_half(self, a: jnp.ndarray) -> jnp.ndarray:
