@@ -33,10 +33,18 @@ class OneShotPredictor:
         self,
         cfg,
         variables,
-        confidence_threshold: float = 0.0,
+        confidence_threshold=0.0,
         query_bucket: Optional[Tuple[int, int]] = None,
         supp_bucket: Optional[Tuple[int, int]] = None,
     ):
+        """``confidence_threshold`` is a scalar OR a per-class vector
+        (reference ``COCODemo(confidence_thresholds_for_classes=...)``,
+        predictor.py:110/226-239 and the hardcoded 20-class tensor in
+        demo/fcos_demo.py:15-40). A vector is indexed by the support
+        class id passed to ``set_support(image, class_id=...)`` — the
+        output of ``coco_eval.compute_thresholds_for_classes`` plugs in
+        directly. Index 0 is background in the reference's tables; pass
+        the same 1-based class ids used there."""
         self.cfg = cfg
         self.model = build_detection_model(cfg)
         self.variables = variables
@@ -47,9 +55,24 @@ class OneShotPredictor:
         self.pixel_std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32)
         self.to_bgr255 = cfg.INPUT.TO_BGR255
         self._supp_cache = None
+        self._supp_class_id = 1
 
         self._support_fn = jax.jit(self._compute_support)
         self._predict_fn = jax.jit(self._predict, static_argnames=("in_hw",))
+
+    def _threshold_for_current_class(self) -> float:
+        """Scalar threshold, or the cached support class's entry of the
+        per-class vector (reference select_top_predictions,
+        predictor.py:226-233: thresholds = self.confidence_thresholds[labels])."""
+        thr = self.confidence_threshold
+        if np.ndim(thr) == 0:
+            return float(thr)
+        thr = np.asarray(thr, np.float32)
+        if not 0 <= self._supp_class_id < thr.shape[0]:
+            raise IndexError(
+                f"support class_id {self._supp_class_id} outside the "
+                f"{thr.shape[0]}-entry per-class threshold vector")
+        return float(thr[self._supp_class_id])
 
     # -- preprocessing (device-side) ---------------------------------------
     def _normalize(self, img_f32):
@@ -74,8 +97,12 @@ class OneShotPredictor:
             self.variables, batch, 1, method=lambda m, b, n: m.compute_support_features(b, n)
         )
 
-    def set_support(self, image_rgb_u8: np.ndarray):
-        """Compute + cache support features for one support crop."""
+    def set_support(self, image_rgb_u8: np.ndarray, class_id: int = 1):
+        """Compute + cache support features for one support crop.
+
+        ``class_id`` selects this class's entry when ``confidence_threshold``
+        is a per-class vector (and is otherwise only bookkeeping)."""
+        self._supp_class_id = int(class_id)
         h0, w0 = image_rgb_u8.shape[:2]
         oh, ow = get_resize_size(
             (w0, h0), self.cfg.INPUT.SUPP_MIN_SIZE_TEST, self.cfg.INPUT.SUPP_MAX_SIZE_TEST
@@ -121,14 +148,19 @@ class OneShotPredictor:
         )
         boxes, scores, valid = (np.asarray(x) for x in out[:3])
         masks = np.asarray(out[3]) if len(out) > 3 else None
-        valid = valid & (scores > self.confidence_threshold)
+        valid = valid & (scores > self._threshold_for_current_class())
         boxes = boxes[valid]
         scores = scores[valid]
+        masks = masks[valid] if masks is not None else None
+        # descending-score order (reference select_top_predictions tail,
+        # predictor.py:235-239)
+        order = np.argsort(-scores, kind="stable")
+        boxes, scores = boxes[order], scores[order]
         # rescale back to the original frame
         boxes = boxes * np.array([w0 / ow, h0 / oh, w0 / ow, h0 / oh])
         if return_masks:
             assert masks is not None, "return_masks requires MODEL.MASK_ON"
-            return boxes, scores, masks[valid]
+            return boxes, scores, masks[order]
         return boxes, scores
 
     # -- annotated-frame API (COCODemo.run_on_opencv_image, predictor.py:162) --

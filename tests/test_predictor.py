@@ -68,6 +68,44 @@ def test_support_cache_required(predictor):
         fresh.run_on_image(np.zeros((64, 64, 3), np.uint8))
 
 
+def test_per_class_thresholds(predictor):
+    """confidence_threshold accepts a per-class vector indexed by the
+    support class_id (reference COCODemo select_top_predictions,
+    predictor.py:226-239; 20-class tensor in demo/fcos_demo.py:15-40) —
+    VERDICT r3 #7."""
+    rng = np.random.RandomState(3)
+    supp = rng.randint(0, 255, (40, 40, 3), np.uint8)
+    frame = rng.randint(0, 255, (100, 150, 3), np.uint8)
+
+    # 21-entry vector (bg + 20 classes): class 3 permissive, class 7 strict
+    thr = np.full((21,), 2.0, np.float32)  # impossible threshold everywhere
+    thr[3] = -1.0  # accept all
+    p = OneShotPredictor(predictor.cfg, predictor.variables,
+                         confidence_threshold=thr)
+
+    p.set_support(supp, class_id=3)
+    boxes3, scores3 = p.run_on_image(frame)
+    p.set_support(supp, class_id=7)
+    boxes7, scores7 = p.run_on_image(frame)
+
+    # same support image, same frame: only the threshold entry differs
+    assert len(boxes7) == 0
+    assert len(boxes3) >= len(boxes7)
+    # scores come back descending (reference sort, predictor.py:235-239)
+    assert (np.diff(scores3) <= 1e-6).all()
+
+    with pytest.raises(IndexError):
+        p.set_support(supp, class_id=99)
+        p.run_on_image(frame)
+
+    # a python list works too
+    p2 = OneShotPredictor(predictor.cfg, predictor.variables,
+                          confidence_threshold=[2.0, -1.0])
+    p2.set_support(supp, class_id=1)
+    b2, _ = p2.run_on_image(frame)
+    assert b2.shape[1] == 4
+
+
 def test_mask_contour_overlay_unit():
     """overlay_mask_contours draws a closed boundary strictly inside the
     box (reference overlay_mask contour draw, predictor.py:288-305)."""
