@@ -58,7 +58,7 @@ SECONDARY_BUDGET_S = float(os.environ.get("ONESHOT_BENCH_BUDGET_S", "420"))
 # numbers have already been flushed (VERDICT r3 #1). int8 variants are NOT
 # in the default list — measured a regression on v5e (round 3); run them
 # standalone via --mode eval --quant int8.
-DEFAULT_STAGES = "preset,cached_preset,fullparity,cached,latency,train"
+DEFAULT_STAGES = "preset,cached_preset,fullparity,cached,latency,train,serving"
 
 
 def emit(rec):
@@ -188,7 +188,14 @@ class _FreshBatches:
     PERSISTENTLY ACROSS PROCESSES and keys on buffer content; every timed
     iteration must consume content the program has never seen. One randn
     base per stream + a distinct scalar offset per variant gives distinct
-    content at memcpy+add cost instead of a fresh 97 MB randn each time.
+    content without a fresh 97 MB randn each time.
+
+    ``device()`` derives variants ON DEVICE (base uploaded once, then a
+    jitted add of a distinct scalar): tunnel uploads measured ~20-33 MB/s
+    on 2026-08-19 (vs ~2 GB/s in rounds 1-3), so a per-iteration 97 MB
+    host upload would cost ~3 s and measure the tunnel, not the chip.
+    Device-side input generation was validated as throughput-honest in
+    round 2 (tools/ablate_bench.py devgen_inputs ablation == full run).
     """
 
     _uid = [0]
@@ -202,15 +209,28 @@ class _FreshBatches:
         _FreshBatches._uid[0] += 1
         self._base = rng.randn(*shape).astype(np.float32)
         self._i = 0
+        self._dev_base = None
+        self._add = None
 
     def host(self):
         self._i += 1
         return self._s2d(self._base + np.float32(self._i * 1e-3))
 
     def device(self):
+        import jax
         import jax.numpy as jnp
 
-        return jnp.asarray(self.host())
+        if self._dev_base is None:
+            t0 = time.time()
+            self._dev_base = jnp.asarray(self._s2d(self._base))
+            self._dev_base.block_until_ready()
+            dt = time.time() - t0
+            if dt > 1.0:
+                print(f"base upload {self._dev_base.nbytes / 1e6:.0f} MB: "
+                      f"{dt:.1f}s", file=sys.stderr, flush=True)
+            self._add = jax.jit(lambda b, c: b + c)
+        self._i += 1
+        return self._add(self._dev_base, jnp.float32(self._i * 1e-3))
 
 
 # ---------------------------------------------------------------------------
@@ -261,9 +281,12 @@ def run_eval_stage(c, args, variables, metric=None, workload=None):
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
     t0 = time.time()
-    compiled = forward.lower(variables, qstream.device(),
-                             sstream.device()).compile()
-    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    lowered = forward.lower(variables, qstream.device(), sstream.device())
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"lower: {t_lower:.1f}s compile: {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     flops_per_batch = _program_flops(compiled)
 
     t0 = time.time()
@@ -426,9 +449,11 @@ def run_latency_stage(c, args, variables):
         return jax.lax.scan(body, 0.0, qs)[0]
 
     stacked = jnp.asarray(np.stack([qstream.host() for _ in range(K)]))
-    _ = float(chain(variables, stacked))  # compile + first chain
-    stacked2 = jnp.asarray(np.stack([qstream.host() for _ in range(K)]))
-    _ = float(stacked2.sum())  # drain the upload before timing
+    _ = float(chain(variables, stacked))  # compile + first chain (pays upload)
+    # fresh content derived ON DEVICE (see _FreshBatches: tunnel uploads
+    # are ~25 MB/s as of 2026-08-19 — a second 240 MB host upload is not)
+    stacked2 = stacked + jnp.float32(0.777)
+    stacked2.block_until_ready()
     t0 = time.perf_counter()
     _ = float(chain(variables, stacked2))
     dev_ms = (time.perf_counter() - t0) / K * 1000
@@ -442,6 +467,86 @@ def run_latency_stage(c, args, variables):
     emit({"metric": "oneshot_device_latency_ms_per_image",
           "value": round(dev_ms, 2), "unit": "ms",
           "vs_baseline": round(71.0 / dev_ms, 4), "workload": wl})
+
+
+def run_serving_stage(c, args, variables):
+    """Time the deployable artifact, not just the live-jit path (VERDICT r3
+    weak #6/#4): export the cached-support (support, detect) StableHLO pair
+    at batch 1, then measure serialize size, load (deserialize) time,
+    FIRST-inference time (compile+run — the deployer's cold start), and
+    steady-state per-call p50. The reference serves by re-running the python
+    model per frame (demo/predictor.py); the artifact needs no model-build
+    python at load time."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu import export as oexport
+
+    (qh, qw), (sh, sw) = args.query_hw, args.supp_hw
+
+    t0 = time.time()
+    pair = oexport.export_eval(c, jax.device_get(variables), batch=1,
+                               query_hw=(qh, qw), supp_hw=(sh, sw),
+                               kind="cached_support")
+    t_export = time.time() - t0
+
+    path = os.path.join(REPO, ".bench_cache", "serving_artifact")
+    t0 = time.time()
+    oexport.save(pair, path)
+    t_save = time.time() - t0
+    size_mb = sum(os.path.getsize(path + ext)
+                  for ext in (".support", ".detect")) / 1e6
+
+    t0 = time.time()
+    sup = oexport.load(path + ".support")
+    det = oexport.load(path + ".detect")
+    t_load = time.time() - t0
+
+    sstream = _FreshBatches((1, sh, sw, 3))
+    qstream = _FreshBatches((1, qh, qw, 3))
+    supp_sizes = jnp.array([[400.0, 400.0]])
+    sizes = jnp.array([[800.0, 1200.0]])
+    tids = jnp.ones((1,), jnp.int32)
+
+    sup_call = jax.jit(sup.call)
+    det_call = jax.jit(det.call)
+
+    t0 = time.time()
+    supp_feats = sup_call(sstream.device(), supp_sizes)
+    jax.block_until_ready(supp_feats)
+    t_first_support = time.time() - t0
+
+    pooled, s7 = supp_feats
+    t0 = time.time()
+    out = det_call(qstream.device(), sizes, pooled, s7, tids)
+    jax.block_until_ready(out)
+    t_first_detect = time.time() - t0
+
+    lat = []
+    timed = [qstream.device() for _ in range(args.iters)]
+    for q in timed:
+        t0 = time.perf_counter()
+        out = det_call(q, sizes, pooled, s7, tids)
+        jax.block_until_ready(out)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+
+    cold_start = t_load + t_first_support + t_first_detect
+    print(f"serving: export {t_export:.1f}s save {t_save:.1f}s "
+          f"({size_mb:.0f} MB) load {t_load:.1f}s first support "
+          f"{t_first_support:.1f}s first detect {t_first_detect:.1f}s "
+          f"p50 {p50:.2f} ms", file=sys.stderr, flush=True)
+    # reference cold start = build python model + load .pth + trace nothing
+    # (eager) but pays python per frame; our comparable number is the 71 ms
+    # published per-image time for steady state (pretrain README)
+    emit({"metric": "oneshot_serving_cold_start_s",
+          "value": round(cold_start, 2), "unit": "s",
+          "workload": f"AOT artifact load+first-inference ({size_mb:.0f} MB pair)"})
+    return emit({"metric": "oneshot_serving_p50_latency_ms",
+                 "value": round(p50, 2), "unit": "ms",
+                 "vs_baseline": round(71.0 / p50, 4),
+                 "workload": "AOT cached-support artifact, per-call"})
 
 
 def run_train_stage(c, args):
@@ -500,13 +605,21 @@ def run_train_stage(c, args):
         return jax.lax.scan(body, state, batches)
 
     t0 = time.time()
-    state, losses = chain(state, stacked(0))
+    s1 = {k: jnp.asarray(v) for k, v in stacked(0).items()}
+    state, losses = chain(state, s1)
     print(f"compile+first chain: {time.time() - t0:.1f}s "
           f"(losses {np.asarray(losses).round(3).tolist()})", file=sys.stderr,
           flush=True)
 
-    s2 = stacked(10_000)
-    _ = float(s2["query_pixels"].sum())  # drain the upload before timing
+    # fresh pixel content derived ON DEVICE from the already-uploaded stack
+    # (tunnel uploads ~25 MB/s as of 2026-08-19; this stack is ~800 MB).
+    # Targets stay identical — params differ every step, so replay can't
+    # trigger; only the pixels need never-seen content.
+    s2 = {k: (v + jnp.float32(1e-3)
+              if jnp.issubdtype(v.dtype, jnp.floating) and "pixels" in k
+              else v)
+          for k, v in s1.items()}
+    jax.block_until_ready(s2)
     t0 = time.perf_counter()
     state, losses = chain(state, s2)
     _ = float(losses[-1])  # value-forced sync (block_until_ready lies here)
@@ -589,6 +702,8 @@ def run_all(args):
                 run_latency_stage(preset_cfg, args, variables)
             elif name == "train":
                 run_train_stage(parity_cfg, args)
+            elif name == "serving":
+                run_serving_stage(preset_cfg, args, variables)
             else:
                 print(f"unknown stage '{name}'", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — a dead stage must not kill the record
@@ -612,7 +727,8 @@ def main():
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--mode", default="all",
-                   choices=["all", "eval", "train", "latency", "eval_cached"])
+                   choices=["all", "eval", "train", "latency", "eval_cached",
+                            "serving"])
     p.add_argument("--stages", default=DEFAULT_STAGES,
                    help="comma list for --mode all (subset/reorder of "
                         f"{DEFAULT_STAGES})")
@@ -662,6 +778,8 @@ def main():
         run_latency_stage(c, args, variables)
     elif args.mode == "eval_cached":
         run_eval_cached_stage(c, args, variables)
+    elif args.mode == "serving":
+        run_serving_stage(c, args, variables)
 
 
 if __name__ == "__main__":
