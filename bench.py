@@ -179,6 +179,78 @@ def _disk_cached_init(init_fn, path):
 
 
 # ---------------------------------------------------------------------------
+# traced-program disk cache (jax.export)
+# ---------------------------------------------------------------------------
+PROG_DIR = os.path.join(REPO, ".bench_programs")
+_FINGERPRINT = [None]
+
+
+def _package_fingerprint():
+    """Hash of every oneshotdet_tpu .py file + the jax version: any code
+    change invalidates cached traced programs."""
+    if _FINGERPRINT[0] is None:
+        import jax
+
+        import oneshotdet_tpu
+
+        root = os.path.dirname(os.path.abspath(oneshotdet_tpu.__file__))
+        h = hashlib.sha256(jax.__version__.encode())
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(f.read())
+        _FINGERPRINT[0] = h.hexdigest()[:12]
+    return _FINGERPRINT[0]
+
+
+def _aot_jit(tag, trace_fn, *args):
+    """``jax.jit(trace_fn)`` with the TRACED PROGRAM disk-cached via
+    ``jax.export`` (weights stay arguments, not baked constants).
+
+    Why: the driver's 350-508 s eval "compile" is NOT XLA compilation —
+    measured 2026-08-19 on this 1-core host: ``lower()`` (python tracing +
+    StableHLO lowering of the full model) = 378 s, XLA ``compile()`` on a
+    persistent-cache hit = 1.7 s. Deserializing a saved StableHLO module
+    skips tracing entirely; the persistent XLA cache then makes compile
+    seconds. Keyed by package-code hash + platform + arg shapes/dtypes,
+    so any code or shape change re-traces and re-saves.
+    """
+    import jax
+
+    def as_spec(x):
+        a = x if hasattr(x, "dtype") else np.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    specs = jax.tree.map(as_spec, args)
+    plat = jax.devices()[0].platform
+    sig = hashlib.sha256(
+        str(jax.tree.map(lambda s: (s.shape, str(s.dtype)), specs)).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(
+        PROG_DIR, f"{tag}_{plat}_{_package_fingerprint()}_{sig}.jaxprog")
+    if os.path.exists(path):
+        t0 = time.time()
+        with open(path, "rb") as f:
+            exported = jax.export.deserialize(bytearray(f.read()))
+        print(f"traced-program cache hit [{tag}]: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return jax.jit(exported.call)
+    t0 = time.time()
+    exported = jax.export.export(jax.jit(trace_fn))(*specs)
+    data = exported.serialize()
+    os.makedirs(PROG_DIR, exist_ok=True)
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    print(f"traced [{tag}]: {time.time() - t0:.1f}s "
+          f"(saved {len(data) / 1e6:.0f} MB)", file=sys.stderr, flush=True)
+    return jax.jit(exported.call)
+
+
+# ---------------------------------------------------------------------------
 # fresh-content input streams
 # ---------------------------------------------------------------------------
 class _FreshBatches:
@@ -234,6 +306,38 @@ class _FreshBatches:
 
 
 # ---------------------------------------------------------------------------
+# honest synchronization
+# ---------------------------------------------------------------------------
+def _make_accum():
+    """Jitted (scalar, output-pytree) -> scalar fold for honest timing.
+
+    ``jax.block_until_ready`` can return EARLY for warm deserialized
+    (jax.export) programs over the device tunnel — measured 2026-08-19: a
+    cache-hit bench run reported "first run: 0.0s" and 13,189 img/s, while
+    the identical program value-forced per call measured an honest 66
+    ms/batch. Chaining every timed output into one device scalar and
+    host-reading it at the end forces every execution via data dependency;
+    a value computed FROM the outputs cannot lie.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def accum(acc, out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + leaf.astype(jnp.float32).sum()
+        return acc
+
+    return jax.jit(accum)
+
+
+def _force(accum, out):
+    """Single-output value-force: returns the host float (honest sync)."""
+    import jax.numpy as jnp
+
+    return float(accum(jnp.float32(0.0), out))
+
+
+# ---------------------------------------------------------------------------
 # stages
 # ---------------------------------------------------------------------------
 def _program_flops(compiled):
@@ -272,41 +376,58 @@ def run_eval_stage(c, args, variables, metric=None, workload=None):
     qstream = _FreshBatches((b, qh, qw, 3))
     sstream = _FreshBatches((b, sh, sw, 3))
 
-    @jax.jit
-    def forward(variables, pixels, supp_pixels):
+    def forward_fn(variables, pixels, supp_pixels):
         imgs = ImageBatch(pixels=pixels, sizes=sizes)
         sup = ImageBatch(pixels=supp_pixels, sizes=supp_sizes)
         dets = model.apply(variables, imgs, sup,
                            target_ids=jnp.ones((b,), jnp.int32), train=False)
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
+    # CHAINED-SCAN protocol (the only per-iteration-artifact-free timing on
+    # this tunnel, cross-validated vs per-call pipelined in round 2 at 8.69
+    # vs 8.5 ms/im): K batch-forwards inside one lax.scan, outputs folded
+    # into one scalar, synced by float() — one dispatch, one round-trip.
+    # Per-call loops pay ~20-25 ms/dispatch serialized when value-forced
+    # (measured 2026-08-19: 81.5 ms/batch vs 44.7 true), and
+    # block_until_ready lies on warm deserialized programs (13,189 img/s).
+    K = args.iters
+
+    def chain_fn(v, qs, ss):
+        def body(acc, q_s):
+            out = forward_fn(v, q_s[0], q_s[1])
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + leaf.astype(jnp.float32).sum()
+            return acc, jnp.float32(0.0)
+        return jax.lax.scan(body, jnp.float32(0.0), (qs, ss))[0]
+
+    stacked_q = jnp.stack([qstream.device() for _ in range(K)])
+    stacked_s = jnp.stack([sstream.device() for _ in range(K)])
+    chain = _aot_jit(f"evalchain{K}{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, stacked_q, stacked_s)
     t0 = time.time()
-    lowered = forward.lower(variables, qstream.device(), sstream.device())
-    t_lower = time.time() - t0
-    t0 = time.time()
-    compiled = lowered.compile()
-    print(f"lower: {t_lower:.1f}s compile: {time.time() - t0:.1f}s",
-          file=sys.stderr, flush=True)
+    compiled = chain.lower(variables, stacked_q, stacked_s).compile()
+    print(f"lower+compile: {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    # XLA cost analysis counts a scan body ONCE, not × trip count (verified
+    # on chip 2026-08-19: the K=10 chain reports exactly the one-batch
+    # 450.1 GFLOP of the unrolled forward) — so this IS per-batch already.
     flops_per_batch = _program_flops(compiled)
 
     t0 = time.time()
-    out = compiled(variables, qstream.device(), sstream.device())
-    jax.block_until_ready(out)
-    print(f"first run: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    _ = float(compiled(variables, stacked_q, stacked_s))
+    print(f"first chain: {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
 
-    for _ in range(args.warmup):
-        out = compiled(variables, qstream.device(), sstream.device())
-    jax.block_until_ready(out)
-
-    # pre-materialize the timed batches so host datagen isn't timed
-    timed = [(qstream.device(), sstream.device()) for _ in range(args.iters)]
+    # fresh never-seen content for the timed chain, derived on device
+    stacked_q2 = stacked_q + jnp.float32(0.777)
+    stacked_s2 = stacked_s + jnp.float32(0.777)
+    stacked_q2.block_until_ready()
+    stacked_s2.block_until_ready()
     t0 = time.perf_counter()
-    for q, s in timed:
-        out = compiled(variables, q, s)
-    jax.block_until_ready(out)
+    _ = float(compiled(variables, stacked_q2, stacked_s2))
     dt = time.perf_counter() - t0
 
-    img_per_sec = b * args.iters / dt
+    img_per_sec = b * K / dt
     print(f"{1000 * dt / (b * args.iters):.2f} ms/image, batch {b}",
           file=sys.stderr, flush=True)
     rec = {
@@ -347,34 +468,46 @@ def run_eval_cached_stage(c, args, variables):
     qstream = _FreshBatches((b, qh, qw, 3))
     sstream = _FreshBatches((1, sh, sw, 3))
 
-    pooled, s7 = jax.jit(lambda v, sp: model.apply(
-        v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
-        method=lambda m, s, nn_: m.compute_support_features(s, nn_))
-    )(variables, sstream.device())
+    def support_fn(v, sp):
+        return model.apply(
+            v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
+            method=lambda m, s, nn_: m.compute_support_features(s, nn_))
+
+    s0 = sstream.device()
+    pooled, s7 = _aot_jit(f"suppfeat{_variant_suffix(c)}_{args.dtype}",
+                          support_fn, variables, s0)(variables, s0)
     pooled = [jnp.tile(p, (b, 1, 1, 1)) for p in pooled]
     s7 = jnp.tile(s7, (b, 1, 1, 1, 1))
     jax.block_until_ready(s7)
 
-    @jax.jit
-    def forward(v, q):
+    def detect_fn(v, q, pooled, s7):
         images = ImageBatch(pixels=q, sizes=sizes)
         dets = model.apply(
             v, images, pooled, s7, jnp.ones((b,), jnp.int32),
             method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t))
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
-    out = forward(variables, qstream.device())
-    jax.block_until_ready(out)
-    for _ in range(args.warmup):
-        out = forward(variables, qstream.device())
-    jax.block_until_ready(out)
-    timed = [qstream.device() for _ in range(args.iters)]
+    # chained-scan protocol (see run_eval_stage for why)
+    K = args.iters
+
+    def chain_fn(v, qs, pooled, s7):
+        def body(acc, q):
+            out = detect_fn(v, q, pooled, s7)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + leaf.astype(jnp.float32).sum()
+            return acc, jnp.float32(0.0)
+        return jax.lax.scan(body, jnp.float32(0.0), qs)[0]
+
+    stacked_q = jnp.stack([qstream.device() for _ in range(K)])
+    chain = _aot_jit(f"cachedchain{K}{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, stacked_q, pooled, s7)
+    _ = float(chain(variables, stacked_q, pooled, s7))  # compile + upload
+    stacked_q2 = stacked_q + jnp.float32(0.777)
+    stacked_q2.block_until_ready()
     t0 = time.perf_counter()
-    for q in timed:
-        out = forward(variables, q)
-    jax.block_until_ready(out)
+    _ = float(chain(variables, stacked_q2, pooled, s7))
     dt = time.perf_counter() - t0
-    img_per_sec = b * args.iters / dt
+    img_per_sec = b * K / dt
     print(f"{1000 * dt / (b * args.iters):.2f} ms/image (cached support), "
           f"batch {b}", file=sys.stderr, flush=True)
     return emit({
@@ -403,31 +536,39 @@ def run_latency_stage(c, args, variables):
     qstream = _FreshBatches((1, qh, qw, 3))
     sstream = _FreshBatches((1, sh, sw, 3))
 
-    supp_feats = jax.jit(lambda v, sp: model.apply(
-        v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
-        method=lambda m, s, nn_: m.compute_support_features(s, nn_))
-    )(variables, sstream.device())
+    def support_fn(v, sp):
+        return model.apply(
+            v, ImageBatch(pixels=sp, sizes=supp_sizes), 1,
+            method=lambda m, s, nn_: m.compute_support_features(s, nn_))
+
+    s0 = sstream.device()
+    supp_feats = _aot_jit(f"suppfeat{_variant_suffix(c)}_{args.dtype}",
+                          support_fn, variables, s0)(variables, s0)
     jax.block_until_ready(supp_feats)
 
-    def predict_raw(v, q):
+    def predict_fn(v, q, feats):
         images = ImageBatch(pixels=q, sizes=sizes)
         dets = model.apply(
-            v, images, supp_feats[0], supp_feats[1], jnp.ones((1,), jnp.int32),
+            v, images, feats[0], feats[1], jnp.ones((1,), jnp.int32),
             method=lambda m, im, p, s7, t: m.detect_with_support(im, p, s7, t))
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
-    predict = jax.jit(predict_raw)
-    out = predict(variables, qstream.device())
-    jax.block_until_ready(out)
+    q0 = qstream.device()
+    predict1 = _aot_jit(f"predict1{_variant_suffix(c)}_{args.dtype}",
+                        predict_fn, variables, q0, supp_feats)
+    predict = lambda v, q: predict1(v, q, supp_feats)  # noqa: E731
+    predict_raw = lambda v, q: predict_fn(v, q, supp_feats)  # noqa: E731
+    accum = _make_accum()
+    out = predict(variables, q0)
+    _force(accum, out)
     for _ in range(args.warmup):
         out = predict(variables, qstream.device())
-    jax.block_until_ready(out)
+    _force(accum, out)
     lat = []
     timed = [qstream.device() for _ in range(args.iters)]
     for q in timed:
         t0 = time.perf_counter()
-        out = predict(variables, q)
-        jax.block_until_ready(out)
+        _force(accum, predict(variables, q))  # value-forced per-call sync
         lat.append((time.perf_counter() - t0) * 1000)
     lat.sort()
     p50 = lat[len(lat) // 2]
@@ -441,21 +582,22 @@ def run_latency_stage(c, args, variables):
     # iterations — so the per-image quotient is tunnel-free.
     K = args.iters
 
-    @jax.jit
-    def chain(v, qs):
+    def chain_fn(v, qs, feats):
         def body(acc, q):
-            o = predict_raw(v, q)
+            o = predict_fn(v, q, feats)
             return acc + o[1].astype(jnp.float32).sum(), 0.0
         return jax.lax.scan(body, 0.0, qs)[0]
 
-    stacked = jnp.asarray(np.stack([qstream.host() for _ in range(K)]))
-    _ = float(chain(variables, stacked))  # compile + first chain (pays upload)
-    # fresh content derived ON DEVICE (see _FreshBatches: tunnel uploads
-    # are ~25 MB/s as of 2026-08-19 — a second 240 MB host upload is not)
+    # stacked queries built ON DEVICE (see _FreshBatches: tunnel uploads are
+    # ~25 MB/s as of 2026-08-19 — a 240 MB host upload is not the chip)
+    stacked = jnp.stack([qstream.device() for _ in range(K)])
+    chain = _aot_jit(f"latchain{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, stacked, supp_feats)
+    _ = float(chain(variables, stacked, supp_feats))  # compile + first chain
     stacked2 = stacked + jnp.float32(0.777)
     stacked2.block_until_ready()
     t0 = time.perf_counter()
-    _ = float(chain(variables, stacked2))
+    _ = float(chain(variables, stacked2, supp_feats))
     dev_ms = (time.perf_counter() - t0) / K * 1000
     print(f"device-time {dev_ms:.2f} ms/image (chained scan, K={K})",
           file=sys.stderr, flush=True)
@@ -484,16 +626,23 @@ def run_serving_stage(c, args, variables):
 
     (qh, qw), (sh, sw) = args.query_hw, args.supp_hw
 
-    t0 = time.time()
-    pair = oexport.export_eval(c, jax.device_get(variables), batch=1,
-                               query_hw=(qh, qw), supp_hw=(sh, sw),
-                               kind="cached_support")
-    t_export = time.time() - t0
-
-    path = os.path.join(REPO, ".bench_cache", "serving_artifact")
-    t0 = time.time()
-    oexport.save(pair, path)
-    t_save = time.time() - t0
+    # artifact keyed by code fingerprint + shapes: re-export (a full trace,
+    # ~6 min on this host) only when the program could have changed — the
+    # serving metrics time LOAD + FIRST INFERENCE, not export
+    path = os.path.join(
+        REPO, ".bench_cache",
+        f"serving_{_package_fingerprint()}_{qh}x{qw}_{sh}x{sw}_{args.dtype}")
+    t_export = t_save = 0.0
+    if not (os.path.exists(path + ".support")
+            and os.path.exists(path + ".detect")):
+        t0 = time.time()
+        pair = oexport.export_eval(c, jax.device_get(variables), batch=1,
+                                   query_hw=(qh, qw), supp_hw=(sh, sw),
+                                   kind="cached_support")
+        t_export = time.time() - t0
+        t0 = time.time()
+        oexport.save(pair, path)
+        t_save = time.time() - t0
     size_mb = sum(os.path.getsize(path + ext)
                   for ext in (".support", ".detect")) / 1e6
 
@@ -511,23 +660,23 @@ def run_serving_stage(c, args, variables):
     sup_call = jax.jit(sup.call)
     det_call = jax.jit(det.call)
 
+    accum = _make_accum()
     t0 = time.time()
     supp_feats = sup_call(sstream.device(), supp_sizes)
-    jax.block_until_ready(supp_feats)
+    _force(accum, supp_feats)
     t_first_support = time.time() - t0
 
     pooled, s7 = supp_feats
     t0 = time.time()
     out = det_call(qstream.device(), sizes, pooled, s7, tids)
-    jax.block_until_ready(out)
+    _force(accum, out)
     t_first_detect = time.time() - t0
 
     lat = []
     timed = [qstream.device() for _ in range(args.iters)]
     for q in timed:
         t0 = time.perf_counter()
-        out = det_call(q, sizes, pooled, s7, tids)
-        jax.block_until_ready(out)
+        _force(accum, det_call(q, sizes, pooled, s7, tids))
         lat.append((time.perf_counter() - t0) * 1000)
     lat.sort()
     p50 = lat[len(lat) // 2]
@@ -597,8 +746,7 @@ def run_train_stage(c, args):
     train_step = make_train_step(model, optimizer)
     rng = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def chain(state, batches):
+    def chain_fn(state, batches):
         def body(st, batch):
             st, m = train_step(st, batch, rng)
             return st, m["loss_total"]
@@ -606,6 +754,7 @@ def run_train_stage(c, args):
 
     t0 = time.time()
     s1 = {k: jnp.asarray(v) for k, v in stacked(0).items()}
+    chain = _aot_jit(f"trainchain_{args.dtype}", chain_fn, state, s1)
     state, losses = chain(state, s1)
     print(f"compile+first chain: {time.time() - t0:.1f}s "
           f"(losses {np.asarray(losses).round(3).tolist()})", file=sys.stderr,
