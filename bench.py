@@ -205,6 +205,35 @@ def _package_fingerprint():
     return _FINGERPRINT[0]
 
 
+def _register_export_types():
+    """Register third-party pytree node types jax.export can't serialize by
+    default. The train state's optimizer state is built from optax
+    NamedTuple nodes (MaskedNode, TraceState, ScaleByAdamState, ...);
+    register every NamedTuple class optax exposes so the traced train
+    program round-trips through jax.export like the eval programs do."""
+    import jax
+
+    try:
+        import optax
+        from optax.transforms import _masking
+
+        classes = {("optax.MaskedNode", _masking.MaskedNode)}
+        for mod in (optax, optax.transforms):
+            for name in dir(mod):
+                obj = getattr(mod, name, None)
+                if (isinstance(obj, type) and issubclass(obj, tuple)
+                        and hasattr(obj, "_fields")):
+                    classes.add((f"optax.{name}", obj))
+        for ser_name, cls in sorted(classes, key=lambda p: p[0]):
+            try:
+                jax.export.register_namedtuple_serialization(
+                    cls, serialized_name=ser_name)
+            except ValueError:
+                pass  # already registered
+    except ImportError:
+        pass
+
+
 def _aot_jit(tag, trace_fn, *args):
     """``jax.jit(trace_fn)`` with the TRACED PROGRAM disk-cached via
     ``jax.export`` (weights stay arguments, not baked constants).
@@ -218,6 +247,8 @@ def _aot_jit(tag, trace_fn, *args):
     so any code or shape change re-traces and re-saves.
     """
     import jax
+
+    _register_export_types()  # needed for BOTH serialize and deserialize
 
     def as_spec(x):
         a = x if hasattr(x, "dtype") else np.asarray(x)
@@ -239,7 +270,14 @@ def _aot_jit(tag, trace_fn, *args):
         return jax.jit(exported.call)
     t0 = time.time()
     exported = jax.export.export(jax.jit(trace_fn))(*specs)
-    data = exported.serialize()
+    _register_export_types()
+    try:
+        data = exported.serialize()
+    except Exception as e:  # unregistered custom pytree type, etc.
+        print(f"traced [{tag}]: {time.time() - t0:.1f}s "
+              f"(NOT cached: serialize failed: {e})",
+              file=sys.stderr, flush=True)
+        return jax.jit(exported.call)
     os.makedirs(PROG_DIR, exist_ok=True)
     tmp = path + ".part"
     with open(tmp, "wb") as f:
@@ -629,9 +667,11 @@ def run_serving_stage(c, args, variables):
     # artifact keyed by code fingerprint + shapes: re-export (a full trace,
     # ~6 min on this host) only when the program could have changed — the
     # serving metrics time LOAD + FIRST INFERENCE, not export
+    plat = jax.devices()[0].platform
     path = os.path.join(
         REPO, ".bench_cache",
-        f"serving_{_package_fingerprint()}_{qh}x{qw}_{sh}x{sw}_{args.dtype}")
+        f"serving_{plat}_{_package_fingerprint()}"
+        f"_{qh}x{qw}_{sh}x{sw}_{args.dtype}")
     t_export = t_save = 0.0
     if not (os.path.exists(path + ".support")
             and os.path.exists(path + ".detect")):

@@ -33,7 +33,7 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
     qh, qw = qhw
     sh, sw = shw
     rng = np.random.RandomState(seed_base)
-    n = iters + warmup + 1
+    n = 1  # only shape templates + the cached_support crop are host-built
     pix = [jnp.asarray(space_to_depth(rng.randn(b, qh, qw, 3).astype(np.float32)))
            for _ in range(n)]
     sup = [jnp.asarray(space_to_depth(rng.randn(b, sh, sw, 3).astype(np.float32)))
@@ -169,7 +169,6 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
         det_mod.ResNetFPN = DoubleResNetFPN
 
     if mode == "backbone_only":
-        @jax.jit
         def forward(v, q, s):
             feats = model.apply(v, q, method=lambda m, qq: m.backbone(
                 qq.astype(m.dtype)))
@@ -181,7 +180,6 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
         )(variables, supp_b)
         jax.block_until_ready(supp_feats)
 
-        @jax.jit
         def forward(v, q, s):
             images = ImageBatch(pixels=q, sizes=sizes)
             dets = model.apply(
@@ -192,7 +190,6 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                 return dets.xyxy, dets.get_field("scores"), dets.valid
             return dets
     else:
-        @jax.jit
         def forward(v, q, s):
             images = ImageBatch(pixels=q, sizes=sizes)
             supp = ImageBatch(pixels=s, sizes=supp_sizes)
@@ -202,53 +199,60 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
                 return dets.xyxy, dets.get_field("scores"), dets.valid
             return dets
 
-    if mode == "sum_out":
-        # reduce every output to a scalar on device: delta vs full =
-        # device->host transfer share of the detection arrays
-        inner = forward
+    # sum_out is now the baseline shape of every ablation (the scan folds
+    # outputs to a scalar on device); keep the name as an alias of full so
+    # old invocations still run.
 
-        @jax.jit
-        def forward(v, q, s):
-            out = inner.__wrapped__(v, q, s)
-            return jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.float32).sum(), out)
+    # ---- chained-scan timing (round 4): all iters inside ONE lax.scan
+    # dispatch, synced by value-forcing the folded scalar. Per-call
+    # pipelined timing broke 2026-08-19 (block_until_ready returns early on
+    # warm jax.export programs; per-call value-forcing serializes a
+    # ~20-25 ms round-trip per dispatch). bench.py uses the identical
+    # protocol, so deltas remain comparable with the headline numbers.
+    import bench as bench_mod
+
+    def fold(acc, out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + leaf.astype(jnp.float32).sum()
+        return acc
 
     if mode == "devgen_inputs":
-        # inputs generated on device inside the jit: isolates host->device
-        # upload cost from compute (delta vs full = upload share)
-        inner = forward
+        # inputs generated on device inside the scan body: isolates
+        # host->device upload cost from compute (delta vs full = upload)
+        def chain(v, seeds):
+            def body(acc, seed):
+                key = jax.random.PRNGKey(seed)
+                q = jax.random.normal(key, pix[0].shape, jnp.float32)
+                s = jax.random.normal(jax.random.fold_in(key, 1),
+                                      sup[0].shape, jnp.float32)
+                return fold(acc, forward(v, q, s)), jnp.float32(0.0)
+            return jax.lax.scan(body, jnp.float32(0.0), seeds)[0]
 
-        @jax.jit
-        def forward_seeded(v, seed):
-            key = jax.random.PRNGKey(seed)
-            q = jax.random.normal(key, pix[0].shape, jnp.float32)
-            s = jax.random.normal(jax.random.fold_in(key, 1), sup[0].shape,
-                                  jnp.float32)
-            return inner.__wrapped__(v, q, s)
-
-        out = forward_seeded(variables, 0)
-        jax.block_until_ready(out)
-        for i in range(warmup):
-            out = forward_seeded(variables, 1 + i)
-        jax.block_until_ready(out)
+        chain_j = jax.jit(chain)
+        _ = float(chain_j(variables, jnp.arange(iters)))
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = forward_seeded(variables, 100 + i)
-        jax.block_until_ready(out)
+        _ = float(chain_j(variables, jnp.arange(iters) + 1000))
         return (time.perf_counter() - t0) / iters * 1000
 
-    out = forward(variables, pix[0], sup[0])
-    jax.block_until_ready(out)
-    for i in range(warmup):
-        out = forward(variables, pix[1 + i], sup[1 + i])
-    jax.block_until_ready(out)
-    base = warmup + 1
+    qstream = bench_mod._FreshBatches((b, qh, qw, 3))
+    sstream = bench_mod._FreshBatches((b, sh, sw, 3))
+    stacked_q = jnp.stack([qstream.device() for _ in range(iters)])
+    stacked_s = jnp.stack([sstream.device() for _ in range(iters)])
+
+    def chain(v, qs, ss):
+        def body(acc, q_s):
+            return fold(acc, forward(v, q_s[0], q_s[1])), jnp.float32(0.0)
+        return jax.lax.scan(body, jnp.float32(0.0), (qs, ss))[0]
+
+    chain_j = jax.jit(chain)
+    _ = float(chain_j(variables, stacked_q, stacked_s))  # trace+compile+upload
+    stacked_q2 = stacked_q + jnp.float32(0.777)
+    stacked_s2 = stacked_s + jnp.float32(0.777)
+    stacked_q2.block_until_ready()
+    stacked_s2.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = forward(variables, pix[base + i], sup[base + i])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1000
-    return dt
+    _ = float(chain_j(variables, stacked_q2, stacked_s2))
+    return (time.perf_counter() - t0) / iters * 1000
 
 
 def main():
