@@ -233,6 +233,19 @@ def _register_export_types():
     except ImportError:
         pass
 
+    try:
+        import pickle
+
+        from oneshotdet_tpu.engine.trainer import TrainState
+
+        # flax struct dataclass: auxdata is static metadata only (no arrays)
+        jax.export.register_pytree_node_serialization(
+            TrainState, serialized_name="oneshotdet_tpu.TrainState",
+            serialize_auxdata=pickle.dumps,
+            deserialize_auxdata=pickle.loads)
+    except (ImportError, ValueError):
+        pass
+
 
 def _aot_jit(tag, trace_fn, *args):
     """``jax.jit(trace_fn)`` with the TRACED PROGRAM disk-cached via

@@ -260,6 +260,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--only", nargs="*", default=None)
+    p.add_argument("--roi-topk", type=int, default=0,
+                   help="set TPU.EVAL_ROI_TOPK on EVERY ablation's base "
+                        "config, so deltas attribute the preset workload")
     args = p.parse_args()
 
     import jax
@@ -279,6 +282,8 @@ def main():
         c.FEW_SHOT.SUPP_ROIALIGN = True
         c.TPU.COMPUTE_DTYPE = "bfloat16"
         c.TPU.HOST_S2D = True
+        if args.roi_topk:
+            c.TPU.EVAL_ROI_TOPK = args.roi_topk
         return c
 
     ablations = {}
