@@ -66,8 +66,11 @@ def main():
     p.add_argument("--pre-nms", type=int, default=6000)
     p.add_argument("--post-nms", type=int, default=2000)
     p.add_argument("--dets", type=int, default=2000)
-    p.add_argument("--variant-quant", default="int8", choices=["none", "int8"],
-                   help="TPU.QUANT for the variant side")
+    p.add_argument("--variant-quant", default="int8",
+                   choices=["none", "int8", "int8_weight"],
+                   help="TPU.QUANT for the variant side (int8_weight uses "
+                        "the fake-quant path: same float param tree, "
+                        "numerics identical to the int8-stored tree)")
     p.add_argument("--roi-topk", type=int, default=0,
                    help="TPU.EVAL_ROI_TOPK for the variant side; with "
                         "--variant-quant int8 this measures the full "
