@@ -119,6 +119,33 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
 
         det_mod.roi_head_postprocess = fake_post
 
+    if mode == "no_s1_post":
+        # replace stage-1 postprocess (FCOS decode + per-level topk +
+        # cross-level NMS) with a static stand-in that still consumes every
+        # head output (so the towers can't be DCE'd): delta vs full =
+        # stage-1 postproc/NMS cost inside the preset workload
+        from oneshotdet_tpu.models import detector as det_mod
+        from oneshotdet_tpu.structures.boxes import Boxes
+
+        def fake_s1_post(locations, logits, bbox_reg, ctrness,
+                         image_sizes_wh, pre_nms_top_n, nms_thresh,
+                         post_top_n, nms_pre_topk=8192, pre_nms_thresh=0.0,
+                         score_mode="BINARY", min_size=0.0, level_topk=True,
+                         dense_points=1):
+            b = logits[0].shape[0]
+            s = sum(l.astype(jnp.float32).mean(axis=(1, 2, 3))
+                    for l in logits + bbox_reg + ctrness)
+            scores = jnp.broadcast_to(s[:, None] * 1e-6, (b, post_top_n))
+            xyxy = (jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 64.0, 64.0], jnp.float32),
+                (b, post_top_n, 4)) + scores[..., None] * 0.0)
+            return Boxes(xyxy=xyxy,
+                         valid=jnp.ones((b, post_top_n), bool),
+                         size=image_sizes_wh,
+                         fields={"scores": scores, "objectness": scores})
+
+        det_mod.fcos_postprocess = fake_s1_post
+
     if mode.startswith("stage_blocks:"):
         # shrink one resnet stage to 1 block (e.g. "stage_blocks:1,4,6,3"):
         # delta vs full = the removed blocks' in-program cost, per stage.
@@ -319,6 +346,7 @@ def main():
     ablations["no_fuse"] = (base_cfg(), "no_fuse")
     ablations["no_supp7"] = (base_cfg(), "no_supp7")
     ablations["no_final_post"] = (base_cfg(), "no_final_post")
+    ablations["no_s1_post"] = (base_cfg(), "no_s1_post")
     ablations["sum_out"] = (base_cfg(), "sum_out")
 
     # per-stage backbone localization (VERDICT r2 #7): shrink one stage to
