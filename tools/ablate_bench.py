@@ -176,11 +176,13 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
             use_c5_for_p6: bool = False
             stride_in_1x1: bool = True
             dtype: Any = None
+            quant: str = "none"
 
             @fnn.compact
             def __call__(self, x):
                 body = ResNet(depth=self.depth,
                               stride_in_1x1=self.stride_in_1x1,
+                              quant=self.quant,
                               dtype=self.dtype, name="body")
                 fpn = FPN(out_channels=self.out_channels,
                           use_c5_for_p6=self.use_c5_for_p6,
@@ -216,6 +218,13 @@ def bench_model(c, b, qhw, shw, iters=10, warmup=2, mode="full", seed_base=0):
             if hasattr(dets, "xyxy"):
                 return dets.xyxy, dets.get_field("scores"), dets.valid
             return dets
+    elif mode == "skeleton":
+        # chain-protocol floor: the scan body only reads both input slices
+        # (same HBM traffic pattern as the real body's first touch) and
+        # folds a scalar. full - skeleton bounds the model's true on-chip
+        # time; skeleton itself = scan + input-read + dispatch overhead.
+        def forward(v, q, s):
+            return q.astype(jnp.float32).sum() + s.astype(jnp.float32).sum()
     else:
         def forward(v, q, s):
             images = ImageBatch(pixels=q, sizes=sizes)
@@ -347,6 +356,12 @@ def main():
     ablations["no_supp7"] = (base_cfg(), "no_supp7")
     ablations["no_final_post"] = (base_cfg(), "no_final_post")
     ablations["no_s1_post"] = (base_cfg(), "no_s1_post")
+    ablations["skeleton"] = (base_cfg(), "skeleton")
+    # minimal stage-1 slice: backbones + FPN + fusion + predictor convs
+    # with towers, stage-1 postproc and all of stage 2 removed. minimal -
+    # skeleton - backbone(18.0) localizes preproc/fusion/predictor cost.
+    c = base_cfg(); c.MODEL.RPN_ONLY = True; c.MODEL.FCOS.NUM_CONVS = 0
+    ablations["minimal (bb+fpn+fuse+pred)"] = (c, "no_s1_post")
     ablations["sum_out"] = (base_cfg(), "sum_out")
 
     # per-stage backbone localization (VERDICT r2 #7): shrink one stage to
