@@ -441,22 +441,33 @@ def run_eval_stage(c, args, variables, metric=None, workload=None):
     # Per-call loops pay ~20-25 ms/dispatch serialized when value-forced
     # (measured 2026-08-19: 81.5 ms/batch vs 44.7 true), and
     # block_until_ready lies on warm deserialized programs (13,189 img/s).
+    #
+    # Round 4: fresh per-iteration inputs are derived IN the scan body
+    # (base + never-seen scalar offset from the scan xs) instead of a
+    # pre-stacked (K, ...) input block. The skeleton ablation measured the
+    # one tunnel dispatch at ~25 ms — 1.25 ms/batch of non-chip overhead at
+    # K=20 — and stacked inputs capped K by HBM (4.9 GB at K=20). In-body
+    # derivation holds only the 122 MB base pair, so K=100 amortizes the
+    # dispatch to ~0.25 ms/batch; the extra per-iteration elementwise add
+    # is strictly MORE work than reading a stacked slice (conservative).
+    # devgen == stacked was validated in round 2 (ablate_bench devgen_inputs).
     K = args.iters
 
-    def chain_fn(v, qs, ss):
-        def body(acc, q_s):
-            out = forward_fn(v, q_s[0], q_s[1])
+    def chain_fn(v, qbase, sbase, offs):
+        def body(acc, off):
+            out = forward_fn(v, qbase + off, sbase + off * jnp.float32(0.731))
             for leaf in jax.tree_util.tree_leaves(out):
                 acc = acc + leaf.astype(jnp.float32).sum()
             return acc, jnp.float32(0.0)
-        return jax.lax.scan(body, jnp.float32(0.0), (qs, ss))[0]
+        return jax.lax.scan(body, jnp.float32(0.0), offs)[0]
 
-    stacked_q = jnp.stack([qstream.device() for _ in range(K)])
-    stacked_s = jnp.stack([sstream.device() for _ in range(K)])
-    chain = _aot_jit(f"evalchain{K}{_variant_suffix(c)}_{args.dtype}",
-                     chain_fn, variables, stacked_q, stacked_s)
+    qbase = qstream.device()
+    sbase = sstream.device()
+    offs = jnp.arange(1, K + 1, dtype=jnp.float32) * jnp.float32(1e-3)
+    chain = _aot_jit(f"evalgen{K}{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, qbase, sbase, offs)
     t0 = time.time()
-    compiled = chain.lower(variables, stacked_q, stacked_s).compile()
+    compiled = chain.lower(variables, qbase, sbase, offs).compile()
     print(f"lower+compile: {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
     # XLA cost analysis counts a scan body ONCE, not × trip count (verified
@@ -465,17 +476,15 @@ def run_eval_stage(c, args, variables, metric=None, workload=None):
     flops_per_batch = _program_flops(compiled)
 
     t0 = time.time()
-    _ = float(compiled(variables, stacked_q, stacked_s))
+    _ = float(compiled(variables, qbase, sbase, offs))
     print(f"first chain: {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
 
-    # fresh never-seen content for the timed chain, derived on device
-    stacked_q2 = stacked_q + jnp.float32(0.777)
-    stacked_s2 = stacked_s + jnp.float32(0.777)
-    stacked_q2.block_until_ready()
-    stacked_s2.block_until_ready()
+    # fresh never-seen offsets (hence content) for the timed chain
+    offs2 = offs + jnp.float32(0.777)
+    offs2.block_until_ready()
     t0 = time.perf_counter()
-    _ = float(compiled(variables, stacked_q2, stacked_s2))
+    _ = float(compiled(variables, qbase, sbase, offs2))
     dt = time.perf_counter() - t0
 
     img_per_sec = b * K / dt
@@ -538,25 +547,27 @@ def run_eval_cached_stage(c, args, variables):
             method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t))
         return dets.xyxy, dets.get_field("scores"), dets.valid
 
-    # chained-scan protocol (see run_eval_stage for why)
+    # chained-scan protocol with in-body input derivation (see
+    # run_eval_stage for why; K amortizes the one tunnel dispatch)
     K = args.iters
 
-    def chain_fn(v, qs, pooled, s7):
-        def body(acc, q):
-            out = detect_fn(v, q, pooled, s7)
+    def chain_fn(v, qbase, pooled, s7, offs):
+        def body(acc, off):
+            out = detect_fn(v, qbase + off, pooled, s7)
             for leaf in jax.tree_util.tree_leaves(out):
                 acc = acc + leaf.astype(jnp.float32).sum()
             return acc, jnp.float32(0.0)
-        return jax.lax.scan(body, jnp.float32(0.0), qs)[0]
+        return jax.lax.scan(body, jnp.float32(0.0), offs)[0]
 
-    stacked_q = jnp.stack([qstream.device() for _ in range(K)])
-    chain = _aot_jit(f"cachedchain{K}{_variant_suffix(c)}_{args.dtype}",
-                     chain_fn, variables, stacked_q, pooled, s7)
-    _ = float(chain(variables, stacked_q, pooled, s7))  # compile + upload
-    stacked_q2 = stacked_q + jnp.float32(0.777)
-    stacked_q2.block_until_ready()
+    qbase = qstream.device()
+    offs = jnp.arange(1, K + 1, dtype=jnp.float32) * jnp.float32(1e-3)
+    chain = _aot_jit(f"cachedgen{K}{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, qbase, pooled, s7, offs)
+    _ = float(chain(variables, qbase, pooled, s7, offs))  # compile + upload
+    offs2 = offs + jnp.float32(0.777)
+    offs2.block_until_ready()
     t0 = time.perf_counter()
-    _ = float(chain(variables, stacked_q2, pooled, s7))
+    _ = float(chain(variables, qbase, pooled, s7, offs2))
     dt = time.perf_counter() - t0
     img_per_sec = b * K / dt
     print(f"{1000 * dt / (b * args.iters):.2f} ms/image (cached support), "
@@ -633,22 +644,23 @@ def run_latency_stage(c, args, variables):
     # iterations — so the per-image quotient is tunnel-free.
     K = args.iters
 
-    def chain_fn(v, qs, feats):
-        def body(acc, q):
-            o = predict_fn(v, q, feats)
+    def chain_fn(v, qbase, feats, offs):
+        def body(acc, off):
+            o = predict_fn(v, qbase + off, feats)
             return acc + o[1].astype(jnp.float32).sum(), 0.0
-        return jax.lax.scan(body, 0.0, qs)[0]
+        return jax.lax.scan(body, 0.0, offs)[0]
 
-    # stacked queries built ON DEVICE (see _FreshBatches: tunnel uploads are
-    # ~25 MB/s as of 2026-08-19 — a 240 MB host upload is not the chip)
-    stacked = jnp.stack([qstream.device() for _ in range(K)])
-    chain = _aot_jit(f"latchain{_variant_suffix(c)}_{args.dtype}",
-                     chain_fn, variables, stacked, supp_feats)
-    _ = float(chain(variables, stacked, supp_feats))  # compile + first chain
-    stacked2 = stacked + jnp.float32(0.777)
-    stacked2.block_until_ready()
+    # fresh queries derived IN the scan body (see run_eval_stage): base
+    # uploaded once, per-iteration never-seen offsets from the scan xs
+    qbase = qstream.device()
+    offs = jnp.arange(1, K + 1, dtype=jnp.float32) * jnp.float32(1e-3)
+    chain = _aot_jit(f"latgen{K}{_variant_suffix(c)}_{args.dtype}",
+                     chain_fn, variables, qbase, supp_feats, offs)
+    _ = float(chain(variables, qbase, supp_feats, offs))  # compile + first
+    offs2 = offs + jnp.float32(0.777)
+    offs2.block_until_ready()
     t0 = time.perf_counter()
-    _ = float(chain(variables, stacked2, supp_feats))
+    _ = float(chain(variables, qbase, supp_feats, offs2))
     dev_ms = (time.perf_counter() - t0) / K * 1000
     print(f"device-time {dev_ms:.2f} ms/image (chained scan, K={K})",
           file=sys.stderr, flush=True)
@@ -923,7 +935,10 @@ def run_all(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--iters", type=int, default=20)
+    # 100 chain iterations amortize the single ~25 ms tunnel dispatch to
+    # ~0.25 ms/batch (skeleton-ablation-measured); inputs are derived
+    # in-body so K no longer costs HBM. p50 loops just get better stats.
+    p.add_argument("--iters", type=int, default=100)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
