@@ -10,6 +10,11 @@ single host.
 The same code runs unchanged on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for testing, and extends to
 multi-host with jax.distributed (DCN between hosts handled by XLA).
+
+Beyond parity, ``parallel.sharding`` adds the 2-D ``(data, model)`` mesh:
+tensor parallelism on the head matmuls and spatial partitioning of the
+query pixels — see that module for the layout rules and the PP/EP
+absence rationale.
 """
 
 from __future__ import annotations
@@ -21,15 +26,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(axes: Sequence[str] = ("data",), devices=None) -> Mesh:
-    """1-D (or reshaped n-D) mesh over all available devices."""
+def make_mesh(axes: Sequence[str] = ("data",), devices=None,
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the available devices.
+
+    1-D (the parity default — reference DDP is pure data parallelism) or
+    n-D: pass ``shape`` (one -1 allowed) to fold the device list, e.g.
+    ``make_mesh(("data", "model"), shape=(2, -1))`` for the dp x (tp+sp)
+    layout used by ``parallel.sharding``. On real hardware order the axes
+    so ``model`` rides the fastest ICI dimension (innermost axis here).
+    """
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
     if len(axes) == 1:
         devices = devices.reshape(-1)
     else:
-        raise NotImplementedError("only a 1-D data mesh is needed for parity")
+        if shape is None:
+            raise ValueError(f"{len(axes)}-D mesh needs an explicit shape")
+        devices = devices.reshape(tuple(shape))
     return Mesh(devices, axes)
 
 

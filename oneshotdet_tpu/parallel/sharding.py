@@ -1,0 +1,158 @@
+"""2-D mesh model parallelism: tensor-parallel params + spatial partitioning.
+
+The reference implements only data parallelism (DDP over NCCL,
+tools/train_net.py:83-88; SURVEY §2.6 maps it to a 1-D ``data`` mesh).
+This module is the TPU-native scaling story BEYOND the reference: a 2-D
+``(data, model)`` mesh where the ``model`` axis carries
+
+  * **tensor parallelism (TP)** for the channel-wide compute — the FCOS
+    tower convs (output-channel sharded, GroupNorm(32) params sharded on
+    the same axis: 256 ch / shard count stays a whole number of 8-channel
+    groups for any power-of-two shard count ≤ 32, so group statistics
+    never cross shards) and the ROI-head fc6/fc7 pair in the canonical
+    Megatron layout (fc6 column-parallel: out-dim sharded; fc7
+    row-parallel: in-dim sharded, XLA inserts the psum);
+  * **spatial partitioning (SP)** for the conv-heavy backbone — query
+    pixels sharded along H (``P("data", "model", None, None)`` on NHWC);
+    XLA GSPMD inserts the halo exchanges 3x3 convs need at shard edges.
+    This is the conv-detector analog of sequence parallelism: the long
+    axis is image height, not tokens (SURVEY §5 "long-context: absent").
+
+Everything rides ``jax.sharding`` + GSPMD propagation: params are placed
+with ``device_put`` under these specs, activations/collectives follow from
+propagation — no shard_map, no hand-written collectives, per the scaling
+playbook (annotate shardings, let XLA insert collectives).
+
+Pipeline parallelism (PP) and expert parallelism (EP) are deliberately
+absent: the model is a feed-forward CNN detector with no expert routing,
+and at detector scale (~32M params) a pipeline split would trade ICI
+bandwidth for bubble overhead with nothing to gain — DP x (TP+SP) covers
+every axis the workload has. This mirrors the reference, which has no
+PP/EP either (SURVEY §2.6 rows "Pipeline parallel: No", "Expert parallel:
+No").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def model_parallel_rules(axis: str = "model") -> Tuple[Tuple[str, P], ...]:
+    """(path-regex, PartitionSpec) rules for the flagship one-shot model.
+
+    Paths are '/'-joined flax param paths (e.g.
+    ``fcos_head/cls_tower_0/Conv_0/kernel``). First match wins; params with
+    no match are replicated. Kernels are flax-layout: conv HWIO, dense
+    (in, out).
+    """
+    return (
+        # --- FCOS towers: column-parallel convs (O sharded), GN + bias ride
+        # the same channel shards. The tower CHAIN stays channel-sharded
+        # between blocks; GSPMD re-gathers where a conv needs full input
+        # channels. (models/fcos.py:68-77; reference rpn/fcos/fcos.py:27-49)
+        (rf"(cls|bbox)_tower_\d+/Conv_0/kernel$", P(None, None, None, axis)),
+        (rf"(cls|bbox)_tower_\d+/Conv_0/bias$", P(axis)),
+        (rf"(cls|bbox)_tower_\d+/GroupNorm_0/(scale|bias)$", P(axis)),
+        # predictor convs consume the sharded tower output: row-parallel
+        # (I sharded), replicated output after XLA's psum.
+        (r"fcos_head/(cls_logits|bbox_pred|centerness)/kernel$",
+         P(None, None, axis, None)),
+        # --- ROI head Megatron pair (models/roi_head.py:237-239; reference
+        # box_head.py:73-76): fc6 column-parallel, fc7 row-parallel.
+        (r"roi_head/.*fc6/kernel$", P(None, axis)),
+        (r"roi_head/.*fc6/bias$", P(axis)),
+        (r"roi_head/.*fc7/kernel$", P(axis, None)),
+        # --- ROI head compress convs: column-parallel first 1x1, GN32 on
+        # the same shards (256 ch), row-parallel second 1x1.
+        (r"roi_head/.*compress_0/kernel$", P(None, None, None, axis)),
+        (r"roi_head/.*compress_0/bias$", P(axis)),
+        (r"roi_head/.*compress_gn0/(scale|bias)$", P(axis)),
+        (r"roi_head/.*compress_1/kernel$", P(None, None, axis, None)),
+    )
+
+
+def _spec_matches(path: str, rules: Sequence[Tuple[str, P]]) -> P:
+    for pat, spec in rules:
+        if re.search(pat, path):
+            return spec
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, rules=None) -> Any:
+    """NamedSharding pytree for ``params`` under ``rules`` on ``mesh``.
+
+    A rule whose spec doesn't divide the param's dims evenly falls back to
+    replication (guards e.g. narrow configs where C < shard count).
+    """
+    if rules is None:
+        rules = model_parallel_rules()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    specs = {}
+    for kp, leaf in flat:
+        spec = _spec_matches(path_str(kp), rules)
+        if spec != P():
+            shape = getattr(leaf, "shape", ())
+            ok = len(spec) <= len(shape)
+            if ok:
+                for d, ax in enumerate(spec):
+                    if ax is None:
+                        continue
+                    size = mesh.shape[ax] if isinstance(ax, str) else 1
+                    if d >= len(shape) or shape[d] % size != 0:
+                        ok = False
+                        break
+            if not ok:
+                spec = P()
+        specs[path_str(kp)] = NamedSharding(mesh, spec)
+
+    def lookup(kp, leaf):
+        return specs[path_str(kp)]
+
+    return jax.tree_util.tree_map_with_path(lookup, params)
+
+
+def shard_params(params: Any, mesh: Mesh, rules=None) -> Any:
+    """device_put ``params`` under the TP rules (replicated where unmatched)."""
+    return jax.device_put(params, param_shardings(params, mesh, rules))
+
+
+def shard_batch_2d(batch: Any, mesh: Mesh, data_axis: str = "data",
+                   spatial_axis: str = "model") -> Any:
+    """Shard a batch dict: dim 0 over data; query pixels ALSO over H.
+
+    Query pixels (B, H, W, 3) get ``P(data, model)`` — spatial partitioning
+    with GSPMD halo exchange in the backbone convs. Everything else (boxes,
+    sizes, supports) shards over ``data`` only; a dim-0 size that doesn't
+    divide the data axis (e.g. a shared support) is replicated.
+    """
+    n_data = mesh.shape[data_axis]
+    n_model = mesh.shape[spatial_axis]
+
+    def put(key, x):
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if x.shape[0] % n_data != 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if key == "query_pixels" and x.ndim == 4 and x.shape[1] % n_model == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P(data_axis, spatial_axis, None, None)))
+        return jax.device_put(
+            x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1)))))
+
+    return {k: put(k, v) for k, v in batch.items()}
