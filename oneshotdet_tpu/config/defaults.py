@@ -337,6 +337,11 @@ _C.TPU.STRICT_LEVEL_TOPK = False       # True = reference's per-level pre-NMS to
 _C.TPU.EVAL_ROI_TOPK = 0               # >0: keep only top-K proposals for stage 2 at eval (opt-in workload cut)
 _C.TPU.HOST_S2D = False                # input pipeline emits 2x2-blocked (H/2,W/2,12) pixels for the stem
 _C.TPU.MESH_AXES = ("data",)
+# per-axis device counts when MESH_AXES is n-D (one -1 allowed), e.g.
+# MESH_AXES ("data", "model") + MESH_SHAPE (2, -1): the "model" axis adds
+# tensor-parallel heads + spatially partitioned query pixels
+# (parallel/sharding.py) on top of data parallelism
+_C.TPU.MESH_SHAPE = ()
 _C.TPU.REMAT_BACKBONE = False           # jax.checkpoint over ResNet stages
 # "int8": dynamic-activation / static-weight int8 conv stack (backbone, FPN,
 # FCOS towers) for eval — v5e int8 MXU is ~2x bf16 (ops/quant.py).

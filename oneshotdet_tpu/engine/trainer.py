@@ -88,7 +88,17 @@ def make_train_step(model, optimizer) -> Callable:
 
 
 def jit_train_step(train_step, mesh):
-    """jit with explicit shardings: state replicated, batch on the data axis."""
+    """jit with explicit shardings: state replicated, batch on the data axis.
+
+    On a 2-D ``(data, model)`` mesh the state arrives pre-sharded by
+    ``parallel.shard_train_state`` (TP params) and the batch by
+    ``parallel.shard_batch_2d`` (spatially partitioned pixels); shardings
+    are then inferred from the committed arguments and preserved through
+    GSPMD propagation rather than pinned here.
+    """
+    if "model" in mesh.axis_names:
+        return jax.jit(train_step, donate_argnums=(0,))
+
     replicated = NamedSharding(mesh, P())
 
     def batch_sharding(x):
@@ -117,6 +127,11 @@ def do_train(
 ):
     """Iteration loop (reference engine/trainer.py:38-142)."""
     from ..parallel.mesh import shard_batch
+    from ..parallel.sharding import shard_batch_2d
+
+    if "model" in mesh.axis_names:
+        def shard_batch(batch, mesh):  # noqa: F811 — 2-D dp x (tp+sp) path
+            return shard_batch_2d(batch, mesh)
 
     rng = jax.random.PRNGKey(6666)
     max_iter = cfg.SOLVER.MAX_ITER

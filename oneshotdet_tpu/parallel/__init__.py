@@ -4,6 +4,7 @@ from .sharding import (
     param_shardings,
     shard_batch_2d,
     shard_params,
+    shard_train_state,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "param_shardings",
     "shard_batch_2d",
     "shard_params",
+    "shard_train_state",
 ]

@@ -132,6 +132,37 @@ def shard_params(params: Any, mesh: Mesh, rules=None) -> Any:
     return jax.device_put(params, param_shardings(params, mesh, rules))
 
 
+def shard_train_state(state: Any, optimizer, mesh: Mesh, rules=None) -> Any:
+    """Place a TrainState on a 2-D mesh: TP params, matching opt_state.
+
+    Params go under the TP rules; optimizer-state leaves (momentum etc.)
+    inherit the sharding of a freshly ``optimizer.init``-ed template over
+    the sharded params — so a checkpoint-loaded opt_state keeps its VALUES
+    but lands with shardings consistent with the params it mirrors.
+    Constants (FrozenBN) and the step counter replicate.
+    """
+    params = shard_params(state.params, mesh, rules)
+    template = optimizer.init(params)
+
+    def tmpl_sharding(t):
+        # momentum zeros_like(sharded param) inherits the param sharding;
+        # scalar counters land on the default device — replicate those
+        s = getattr(t, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return s
+        return NamedSharding(mesh, P())
+
+    opt_state = jax.tree.map(
+        lambda t, x: jax.device_put(x, tmpl_sharding(t)),
+        template, state.opt_state)
+    constants = jax.device_put(
+        state.constants,
+        jax.tree.map(lambda _: NamedSharding(mesh, P()), state.constants))
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return state.replace(step=step, params=params, constants=constants,
+                         opt_state=opt_state)
+
+
 def shard_batch_2d(batch: Any, mesh: Mesh, data_axis: str = "data",
                    spatial_axis: str = "model") -> Any:
     """Shard a batch dict: dim 0 over data; query pixels ALSO over H.

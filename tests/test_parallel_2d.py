@@ -129,19 +129,18 @@ def test_train_step_2d_matches_single_device():
     ref = {k: float(v) for k, v in ref_metrics.items()}
     assert all(np.isfinite(v) for v in ref.values()), ref
 
-    # 2-D sharded: TP params + spatially sharded query pixels
+    # 2-D sharded: the actual CLI path — shard_train_state (TP params,
+    # matching opt_state shardings) + jit_train_step's 2-D branch +
+    # spatially sharded query pixels
+    from oneshotdet_tpu.engine import jit_train_step
+    from oneshotdet_tpu.parallel import shard_train_state
+
     mesh = make_mesh(("data", "model"), shape=(2, -1))
-    params = shard_params(variables["params"], mesh)
-    constants = jax.device_put(
-        variables.get("constants", {}),
-        jax.tree.map(
-            lambda _: jax.sharding.NamedSharding(mesh, P()),
-            variables.get("constants", {})))
-    optimizer2, _ = make_optimizer(c, params)
-    state = create_train_state(
-        model, optimizer2, {"params": params, "constants": constants})
+    state = shard_train_state(
+        create_train_state(model, optimizer, variables), optimizer, mesh)
     sharded_batch = shard_batch_2d(batch, mesh)
-    new_state, metrics = jax.jit(train_step)(state, sharded_batch, rng)
+    step2 = jit_train_step(train_step, mesh)
+    new_state, metrics = step2(state, sharded_batch, rng)
     jax.block_until_ready(metrics)
     got = {k: float(v) for k, v in metrics.items()}
     for k, v in ref.items():

@@ -66,7 +66,8 @@ def main():
     logger.info(f"devices: {jax.devices()}")
     logger.info(f"config:\n{c}")
 
-    mesh = make_mesh(tuple(c.TPU.MESH_AXES))
+    mesh = make_mesh(tuple(c.TPU.MESH_AXES),
+                     shape=tuple(c.TPU.MESH_SHAPE) or None)
     model = build_detection_model(c)
 
     n_proc = jax.process_count()
@@ -116,7 +117,15 @@ def main():
 
     from oneshotdet_tpu.parallel.mesh import replicate
 
-    state = replicate(state, mesh)
+    if "model" in mesh.axis_names:
+        # 2-D dp x (tp+sp): TP params + matching opt_state shardings
+        # (checkpoint-loaded values preserved); batch sharding in do_train
+        # routes through shard_batch_2d for the spatial pixel shard
+        from oneshotdet_tpu.parallel import shard_train_state
+
+        state = shard_train_state(state, optimizer, mesh)
+    else:
+        state = replicate(state, mesh)
     train_step = jit_train_step(make_train_step(model, optimizer), mesh)
 
     meters = (
