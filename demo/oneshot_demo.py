@@ -29,6 +29,9 @@ def main():
     p.add_argument("--ckpt", default="")
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--device", default="")
+    p.add_argument("--spatial-devices", type=int, default=1,
+                   help="shard each frame's H across N chips for "
+                        "lower per-frame latency (params replicated)")
     args = p.parse_args()
 
     import jax
@@ -77,7 +80,8 @@ def main():
             variables = {"params": state.params, "constants": state.constants}
     variables = jax.device_put(variables, jax.devices()[0])
 
-    predictor = OneShotPredictor(c, variables, confidence_threshold=args.threshold)
+    predictor = OneShotPredictor(c, variables, confidence_threshold=args.threshold,
+                                 spatial_devices=args.spatial_devices)
     supp = np.asarray(Image.open(args.support).convert("RGB"))
     predictor.set_support(supp)
     print("support features cached")

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--source", default="0", help="camera index or video path")
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--ckpt", default="")
+    p.add_argument("--spatial-devices", type=int, default=1,
+                   help="shard each frame's H across N chips for "
+                        "lower per-frame latency (params replicated)")
     args = p.parse_args()
 
     try:
@@ -49,7 +52,8 @@ def main():
         variables = model.init({"params": jax.random.PRNGKey(0)}, imgs, imgs, train=False)
     variables = jax.device_put(variables, jax.devices()[0])
 
-    predictor = OneShotPredictor(c, variables, confidence_threshold=args.threshold)
+    predictor = OneShotPredictor(c, variables, confidence_threshold=args.threshold,
+                                 spatial_devices=args.spatial_devices)
     predictor.set_support(np.asarray(Image.open(args.support).convert("RGB")))
 
     cam = cv2.VideoCapture(int(args.source) if args.source.isdigit() else args.source)

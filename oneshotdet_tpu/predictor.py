@@ -36,6 +36,7 @@ class OneShotPredictor:
         confidence_threshold=0.0,
         query_bucket: Optional[Tuple[int, int]] = None,
         supp_bucket: Optional[Tuple[int, int]] = None,
+        spatial_devices: int = 1,
     ):
         """``confidence_threshold`` is a scalar OR a per-class vector
         (reference ``COCODemo(confidence_thresholds_for_classes=...)``,
@@ -57,8 +58,41 @@ class OneShotPredictor:
         self._supp_cache = None
         self._supp_class_id = 1
 
+        # spatial partitioning for single-image latency (``spatial_devices``
+        # > 1): ONE frame's H axis is sharded across that many chips, params
+        # stay replicated, and GSPMD inserts the conv halo exchanges — the
+        # TPU-native way to push per-frame latency below the single-chip
+        # floor. The reference's serving path has no analog (one GPU per
+        # process, predictor.py:201-205).
+        self._mesh = None
+        if spatial_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import make_mesh
+
+            devs = jax.devices()[:spatial_devices]
+            if len(devs) < spatial_devices:
+                raise ValueError(
+                    f"spatial_devices={spatial_devices} but only "
+                    f"{len(devs)} devices are available")
+            if self.query_bucket[0] % spatial_devices:
+                raise ValueError(
+                    f"query bucket H={self.query_bucket[0]} must divide "
+                    f"spatial_devices={spatial_devices}")
+            self._mesh = make_mesh(("model",), devs)
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(self._mesh, P()))
+
         self._support_fn = jax.jit(self._compute_support)
         self._predict_fn = jax.jit(self._predict, static_argnames=("in_hw",))
+
+    def _place(self, x, *spec):
+        """Put ``x`` on the spatial mesh (no-op without one)."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self._mesh, P(*spec)))
 
     def _threshold_for_current_class(self) -> float:
         """Scalar threshold, or the cached support class's entry of the
@@ -111,7 +145,8 @@ class OneShotPredictor:
         padded = self._preprocess(
             jnp.asarray(np.ascontiguousarray(image_rgb_u8)), (oh, ow), self.supp_bucket
         )
-        self._supp_cache = self._support_fn(padded, jnp.array([oh, ow], jnp.float32))
+        self._supp_cache = self._support_fn(
+            self._place(padded), self._place(jnp.array([oh, ow], jnp.float32)))
         return self._supp_cache
 
     # -- per-frame detection ---------------------------------------------------
@@ -144,7 +179,9 @@ class OneShotPredictor:
         )
         supp_pooled, supp_7x7 = self._supp_cache
         out = self._predict_fn(
-            padded, jnp.array([oh, ow], jnp.float32), supp_pooled, supp_7x7, (oh, ow)
+            self._place(padded, "model"),  # H sharded across the mesh
+            self._place(jnp.array([oh, ow], jnp.float32)),
+            supp_pooled, supp_7x7, (oh, ow)
         )
         boxes, scores, valid = (np.asarray(x) for x in out[:3])
         masks = np.asarray(out[3]) if len(out) > 3 else None

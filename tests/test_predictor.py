@@ -161,3 +161,33 @@ def test_mask_on_predictor_returns_masks():
     assert masks.ndim == 3 and masks.shape[1] == masks.shape[2]
     out = p.run_on_opencv_image(np.ascontiguousarray(frame[:, :, ::-1]))
     assert out.shape == frame.shape
+
+
+@pytest.mark.slow
+def test_spatial_partitioned_predictor_matches(predictor):
+    """spatial_devices=4: ONE frame's H sharded across 4 devices (params
+    replicated, GSPMD conv halos) returns the same detections as the
+    single-device predictor — the TPU-native per-frame latency scaling
+    the reference's one-GPU-per-process serving cannot express."""
+    assert len(jax.devices()) >= 4
+    rng = np.random.RandomState(7)
+    supp = rng.randint(0, 255, (40, 40, 3), np.uint8)
+    frame = rng.randint(0, 255, (100, 150, 3), np.uint8)
+
+    predictor.set_support(supp)
+    ref_boxes, ref_scores = predictor.run_on_image(frame)
+
+    sp = OneShotPredictor(predictor.cfg, predictor.variables,
+                          confidence_threshold=-1.0, spatial_devices=4)
+    sp.set_support(supp)
+    boxes, scores = sp.run_on_image(frame)
+
+    assert boxes.shape == ref_boxes.shape
+    np.testing.assert_allclose(scores, ref_scores, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(boxes, ref_boxes, rtol=2e-4, atol=1e-3)
+
+
+def test_spatial_devices_validation(predictor):
+    with pytest.raises(ValueError):
+        OneShotPredictor(predictor.cfg, predictor.variables,
+                         spatial_devices=7)  # 96 % 7 != 0
