@@ -38,7 +38,9 @@ def main():
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    from oneshotdet_tpu.utils.profiling import setup_compile_cache
+
+    setup_compile_cache()
 
     from oneshotdet_tpu.config import cfg
     from oneshotdet_tpu.models import build_detection_model

@@ -37,6 +37,9 @@ def main():
     import jax.numpy as jnp
     from PIL import Image
 
+    from oneshotdet_tpu.utils.profiling import setup_compile_cache
+
+    setup_compile_cache()
     from oneshotdet_tpu.config import cfg
     from oneshotdet_tpu.models import build_detection_model
     from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas

@@ -105,3 +105,22 @@ def collect_env_info() -> str:
         f"process_index: {jax.process_index()}/{jax.process_count()}",
     ]
     return "\n".join(lines)
+
+
+def setup_compile_cache(path: str = "") -> str:
+    """Point JAX at the persistent XLA compile cache (idempotent).
+
+    Full-model compiles over a device tunnel run 20-600 s cold; the
+    persistent cache turns repeats into seconds. Resolution order:
+    explicit ``path`` > ``ONESHOT_COMPILE_CACHE`` env > ``~/.cache/jax_comp_cache``.
+    The reference has no analog (eager torch never compiles).
+    """
+    import os
+
+    import jax
+
+    path = (path or os.environ.get("ONESHOT_COMPILE_CACHE")
+            or os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return path

@@ -33,6 +33,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from oneshotdet_tpu.utils.profiling import setup_compile_cache
+
+    setup_compile_cache()
     from oneshotdet_tpu.config import cfg
     from oneshotdet_tpu.data import make_data_loader
     from oneshotdet_tpu.engine import create_train_state
