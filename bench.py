@@ -29,8 +29,8 @@ a v5e-8 (= 625 images/sec/chip): vs_baseline = value / 625.
 Cold-start engineering (VERDICT r3 #1 — the round-3 driver record lost every
 secondary because the primary compiled 508 s):
   - the persistent XLA compile cache lives in a REPO-LOCAL dir
-    (.jax_comp_cache/, committed for the mode-all programs) so a driver run
-    in a fresh container still hits warm entries;
+    (.jax_comp_cache/, gitignored — 1.7 GB — but on-disk in the working
+    tree the driver shares) so a driver run still hits warm entries;
   - the CPU model init (76-373 s on this 1-core host) is disk-cached in
     .bench_cache/ (gitignored; regenerated on miss);
   - all stages run in one process: one init, one param upload, no
@@ -76,11 +76,11 @@ def _configure_jax(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # Persistent compilation cache in the REPO (committed for the mode-all
-    # programs): first-ever compile over the device tunnel is 300-500 s; a
-    # driver run in a fresh container must hit warm entries. /root/.cache
-    # does NOT survive container resets (observed between round-3 sessions);
-    # the repo does.
+    # Persistent compilation cache in the REPO working tree (gitignored,
+    # too big to commit; the driver shares this tree): first-ever compile
+    # over the device tunnel is 300-500 s; a driver run must hit warm
+    # entries. /root/.cache does NOT survive container resets (observed
+    # between round-3 sessions); the repo dir does.
     cache_dir = os.environ.get(
         "ONESHOT_COMPILE_CACHE", os.path.join(REPO, ".jax_comp_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
