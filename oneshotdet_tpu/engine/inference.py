@@ -107,6 +107,74 @@ def make_cached_support_eval_steps(model, mesh=None):
     )
 
 
+def make_multiclass_eval_step(model, mesh=None):
+    """One query backbone+FPN pass amortized over S support classes.
+
+    The eval protocol revisits each query image once per class — the
+    episodic dataset's length is Σ_cat #imgs(cat) (reference
+    data/datasets/coco.py:181-203) — and fusion happens AFTER the query
+    backbone (generalized_rcnn.py:270 vs :307-311), so the backbone+FPN
+    pass (the single largest slice of the eval cost model) is legally
+    shared across every class an image is evaluated against. This is the
+    exact dual of cached supports (one support set serves all queries of a
+    class; here one query pyramid serves all classes of a batch).
+
+    Returns a jitted step:
+        (variables, batch, supp_pooled_stack, supp_7x7_stack, target_ids)
+          -> (xyxy, scores, labels, valid)  each with leading (S, B, ...)
+    where supp_pooled_stack is a list per FPN level of (S, 1, 1, 1, C),
+    supp_7x7_stack is (S, 1, shot, 7, 7, C) — class-level support features
+    as produced by ``compute_support_features`` at batch 1, stacked over
+    classes — and target_ids is (S,). The per-class body runs under
+    ``lax.scan`` so per-class cost (and compiled code size) matches the
+    single-class program.
+    """
+    mask_on = bool(getattr(model.config, "mask_on", False))
+    kp_on = bool(getattr(model.config, "keypoint_on", False))
+
+    def eval_step(variables, batch, supp_pooled_stack, supp_7x7_stack,
+                  target_ids_stack):
+        images = ImageBatch(pixels=batch["query_pixels"],
+                            sizes=batch["query_sizes"])
+        features = model.apply(
+            variables, images, method=lambda m, im: m.backbone_features(im))
+        sizes_wh = images.sizes_wh()
+
+        def body(carry, xs):
+            pooled, s7, tid = xs
+            dets = model.apply(
+                variables, features, sizes_wh, list(pooled), s7, tid,
+                method=lambda m, f, sw, p, s, t:
+                    m.detect_from_features(f, sw, p, s, t),
+            )
+            out = (dets.xyxy, dets.get_field("scores"),
+                   dets.get_field("labels"), dets.valid)
+            if mask_on:
+                out = out + (dets.get_field("mask_probs"),)
+            if kp_on:
+                out = out + (dets.get_field("keypoints_xy"),
+                             dets.get_field("keypoints_scores"))
+            return carry, out
+
+        xs = (tuple(supp_pooled_stack), supp_7x7_stack, target_ids_stack)
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), xs)
+        return outs
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    class_major = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, sharded, replicated, replicated, replicated),
+        out_shardings=class_major,
+    )
+
+
 def compute_on_dataset(
     model,
     variables,

@@ -669,6 +669,16 @@ class GeneralizedRCNN(nn.Module):
         supp_7x7 = self._supp_roi_7x7(features_supp, supp_sizes, batch_size)
         return pooled, supp_7x7
 
+    def backbone_features(self, images: ImageBatch):
+        """Query backbone+FPN pass alone.
+
+        The reference runs the query backbone BEFORE fusion
+        (generalized_rcnn.py:270 vs :307-311), so one backbone pass can
+        legally serve any number of support classes; this factoring is what
+        ``detect_from_features`` / the multi-class eval step build on.
+        """
+        return self.backbone(images.pixels.astype(self.dtype))
+
     def detect_with_support(
         self,
         images: ImageBatch,
@@ -677,25 +687,51 @@ class GeneralizedRCNN(nn.Module):
         target_ids=None,
     ):
         """Eval forward with precomputed (cached) support features."""
+        features = self.backbone_features(images)
+        return self.detect_from_features(
+            features, images.sizes_wh(), supp_pooled, supp_7x7, target_ids
+        )
+
+    def detect_from_features(
+        self,
+        features,             # query FPN pyramid, each (B, H, W, C)
+        sizes_wh,             # (B, 2) true image (w, h)
+        supp_pooled,          # list of (B or 1, 1, 1, C) per level
+        supp_7x7,             # (B or 1, shot, 7, 7, C)
+        target_ids=None,      # (B,) int, or a scalar for a class-level id
+    ):
+        """Post-backbone eval path: fusion -> stage 1 -> stage 2 -> postproc.
+
+        Support inputs with a leading dim of 1 are class-level features
+        broadcast across the query batch — the multi-class episode protocol
+        (the eval dataset revisits each query image once per class,
+        ref data/datasets/coco.py:181-203) scans this method over S cached
+        support sets off ONE ``backbone_features`` pass.
+        """
         c = self.config
-        b = images.batch_size
-        features = self.backbone(images.pixels.astype(self.dtype))
+        b = features[0].shape[0]
+        supp_7x7 = jnp.broadcast_to(supp_7x7, (b,) + supp_7x7.shape[1:])
+        if target_ids is None:
+            target_ids = jnp.ones((b,), jnp.int32)
+        else:
+            target_ids = jnp.broadcast_to(jnp.asarray(target_ids, jnp.int32)
+                                          .reshape(-1), (b,))
         combined = [f * p.astype(f.dtype) for f, p in zip(features, supp_pooled)]
         if c.stage1 == "fcos":
             logits, bbox_reg, ctrness = self.fcos_head(combined)
             shapes = [(f.shape[1], f.shape[2]) for f in combined]
             locations = compute_locations(shapes, c.fpn_strides, c.dense_points)
             proposals = fcos_postprocess(
-                locations, logits, bbox_reg, ctrness, images.sizes_wh(),
+                locations, logits, bbox_reg, ctrness, sizes_wh,
                 c.pre_nms_top_n_test, c.rpn_nms_thresh, c.fpn_post_nms_top_n_test,
                 c.nms_pre_topk, 0.0, c.score_mode,
                 level_topk=c.strict_level_topk,
                 dense_points=c.dense_points,
             )
         elif c.stage1 == "retinanet":
-            proposals, _ = self.retinanet_module(combined, images.sizes_wh())
+            proposals, _ = self.retinanet_module(combined, sizes_wh)
         else:
-            proposals, _ = self.rpn_module(combined, images.sizes_wh())
+            proposals, _ = self.rpn_module(combined, sizes_wh)
         if c.rpn_only:
             return proposals
         proposals = self._compact_eval_proposals(proposals)
@@ -706,8 +742,6 @@ class GeneralizedRCNN(nn.Module):
             supp_7x7.astype(self.dtype),
             use_pallas=True, prepooled_query=prepooled,
         )
-        if target_ids is None:
-            target_ids = jnp.ones((b,), jnp.int32)
         dets = roi_head_postprocess(
             cls_logits, box_deltas, proposals, target_ids,
             BoxCoder(c.bbox_reg_weights), c.roi_score_thresh,
