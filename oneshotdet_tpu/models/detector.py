@@ -393,11 +393,18 @@ class GeneralizedRCNN(nn.Module):
     # -- helpers ----------------------------------------------------------
 
     def _supp_features(self, supp: ImageBatch):
+        from ..parallel.sharding import batch_only_constraints
+
         c = self.config
-        if c.siamese_backbone:
-            feats = self.supp_backbone(supp.pixels)
-        else:
-            feats = self.backbone(supp.pixels)
+        # supports are small crops sharded over the data axis only — the
+        # 2-D mesh's spatial (H) constraints apply to the QUERY pyramid;
+        # the support pass pins batch-dim-only shardings instead
+        # (parallel/sharding.py::batch_only_constraints).
+        with batch_only_constraints():
+            if c.siamese_backbone:
+                feats = self.supp_backbone(supp.pixels)
+            else:
+                feats = self.backbone(supp.pixels)
         return self._merge_supp_aug(feats)
 
     def _merge_supp_aug(self, feats):

@@ -72,30 +72,40 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        # Under a 2-D (data, model) mesh the lateral/top-down tensors get
+        # explicit sharding constraints: the `last` tensor feeds TWO
+        # consumers (output conv + next top-down add), and without pinned
+        # shardings GSPMD resolves the backward's mismatched cotangent
+        # `add_any` with an involuntary full rematerialization. No-op on a
+        # 1-D mesh / off-mesh (parallel/sharding.py::constrain_spatial).
+        from ..parallel.sharding import constrain_spatial
+
         c2, c3, c4, c5 = features
         # lateral (inner) convs — names follow the reference fpn_inner{2,3,4}
         # numbering over the non-skipped inputs (C3=2, C4=3, C5=4).
-        inner3 = _conv(self.out_channels, 1, name="fpn_inner2", dtype=self.dtype, quant=self.quant)(c3)
-        inner4 = _conv(self.out_channels, 1, name="fpn_inner3", dtype=self.dtype, quant=self.quant)(c4)
-        inner5 = _conv(self.out_channels, 1, name="fpn_inner4", dtype=self.dtype, quant=self.quant)(c5)
+        inner3 = constrain_spatial(_conv(self.out_channels, 1, name="fpn_inner2", dtype=self.dtype, quant=self.quant)(c3))
+        inner4 = constrain_spatial(_conv(self.out_channels, 1, name="fpn_inner3", dtype=self.dtype, quant=self.quant)(c4))
+        inner5 = constrain_spatial(_conv(self.out_channels, 1, name="fpn_inner4", dtype=self.dtype, quant=self.quant)(c5))
 
         def top_down(lateral, top):
             up = upsample_nearest_2x(top)
             # crop to the lateral's extent — needed when the input is not
             # divisible by 32 (the reference asserts SIZE_DIVISIBILITY instead)
             up = up[:, : lateral.shape[1], : lateral.shape[2], :]
-            return lateral + up
+            return constrain_spatial(lateral + up)
 
         last = inner5
-        p5 = _conv(self.out_channels, 3, name="fpn_layer4", dtype=self.dtype, quant=self.quant)(last)
+        p5 = constrain_spatial(_conv(self.out_channels, 3, name="fpn_layer4", dtype=self.dtype, quant=self.quant)(last))
         last = top_down(inner4, last)
-        p4 = _conv(self.out_channels, 3, name="fpn_layer3", dtype=self.dtype, quant=self.quant)(last)
+        p4 = constrain_spatial(_conv(self.out_channels, 3, name="fpn_layer3", dtype=self.dtype, quant=self.quant)(last))
         last = top_down(inner3, last)
-        p3 = _conv(self.out_channels, 3, name="fpn_layer2", dtype=self.dtype, quant=self.quant)(last)
+        p3 = constrain_spatial(_conv(self.out_channels, 3, name="fpn_layer2", dtype=self.dtype, quant=self.quant)(last))
 
         p6_in = c5 if self.use_c5_for_p6 else p5
-        p6 = _conv(self.out_channels, 3, stride=2, name="top_p6", dtype=self.dtype, quant=self.quant)(p6_in)
-        p7 = _conv(self.out_channels, 3, stride=2, name="top_p7", dtype=self.dtype, quant=self.quant)(nn.relu(p6))
+        # p5/p6 each feed two consumers (pyramid output + the next top conv):
+        # constrain them so the backward's cotangent sum has matching shards.
+        p6 = constrain_spatial(_conv(self.out_channels, 3, stride=2, name="top_p6", dtype=self.dtype, quant=self.quant)(p6_in))
+        p7 = constrain_spatial(_conv(self.out_channels, 3, stride=2, name="top_p7", dtype=self.dtype, quant=self.quant)(nn.relu(p6)))
         return (p3, p4, p5, p6, p7)
 
 

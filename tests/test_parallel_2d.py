@@ -110,8 +110,10 @@ def test_shard_batch_2d_handles_odd_leading_dims():
 
 
 @pytest.mark.slow
-def test_train_step_2d_matches_single_device():
-    """dp=2 x model=4 train step == single-device train step (same numbers)."""
+def test_train_step_2d_matches_single_device(capfd):
+    """dp=2 x model=4 train step == single-device train step (same numbers),
+    and the compile is clean of GSPMD 'Involuntary full rematerialization'
+    (the FPN lateral/top-down sharding constraints, VERDICT r4 weak #3)."""
     assert len(jax.devices()) >= 8
     c = _tiny_cfg()
     model = build_detection_model(c)
@@ -148,6 +150,10 @@ def test_train_step_2d_matches_single_device():
     # updated params keep their TP shardings (no silent re-replication)
     kern = new_state.params["fcos_head"]["cls_tower_0"]["Conv_0"]["kernel"]
     assert kern.sharding.spec == P(None, None, None, "model"), kern.sharding
+    # the 2-D compile must not fall back to GSPMD full rematerialization
+    # anywhere (XLA prints the warning to the C++ stderr fd)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
 
 
 @pytest.mark.slow
