@@ -75,7 +75,13 @@ def main():
             logger.info(f"torch import: {len(matched)} matched, {len(unmatched)} unmatched")
             vars_ = {"params": converted["params"], "constants": converted["constants"]}
         elif ckpt_path:
-            ckptr = Checkpointer(os.path.dirname(ckpt_path) or ".", logger, cfg=c)
+            # root the checkpointer at the EVAL output dir, not LOAD_DIR:
+            # load() gives a last_checkpoint tag precedence over the explicit
+            # path (reference checkpoint.py:53-57), and LOAD_DIR carries the
+            # tag from training — rooting there would silently evaluate the
+            # newest checkpoint for every seq_test entry. The reference
+            # likewise roots at OUTPUT_DIR (tools/test_net.py:59-64).
+            ckptr = Checkpointer(out_dir, logger, cfg=c)
             optimizer, _ = make_optimizer(c, variables["params"])
 
             class _S:  # minimal state shim for Checkpointer.load
