@@ -42,3 +42,28 @@ def test_bench_eval_primary_record_contract():
     assert rec["value"] > 0
     assert rec["unit"] == "images/sec"
     assert "vs_baseline" in rec
+
+
+@pytest.mark.slow
+def test_bench_multiclass_record_contract():
+    """The round-5 headline lever stage: one query pass over S cached
+    support classes. Pins the JSON contract + that the chained
+    outer(K)/inner(S) scan program builds and runs end-to-end."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--mode", "multiclass", "--platform", "cpu",
+         "--batch", "1", "--iters", "20", "--warmup", "1",
+         "--multiclass-s", "3",
+         "--query-hw", "128", "192", "--supp-hw", "64", "64"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert json_lines, f"no JSON line on stdout:\n{proc.stdout}"
+    rec = json.loads(json_lines[-1])
+    assert rec["metric"] == "oneshot_eval_multiclass_images_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["unit"] == "images/sec"
+    assert "vs_baseline" in rec

@@ -104,3 +104,50 @@ def test_export_cached_support_roundtrip(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(scores),
                                np.asarray(dets.get_field("scores")),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_compiled_executable_roundtrip(setup, tmp_path):
+    """save_compiled/load_compiled: the serialized PjRt EXECUTABLE (the
+    serving cold-start fast path — no tracing, no XLA compile at load)
+    produces the same detections as the live model."""
+    c, model, variables, images, supp = setup
+    b = images.batch_size
+    tids = jnp.ones((b,), jnp.int32)
+
+    pair = oexport.export_eval(c, variables, batch=b, query_hw=(64, 64),
+                               supp_hw=(32, 32), kind="cached_support")
+    base = str(tmp_path / "serve.stablehlo")
+    oexport.save(pair, base)
+    assert oexport.save_compiled(pair, base), \
+        "executable serialization unsupported on this backend"
+
+    sup_call = oexport.load_compiled(base + ".support")
+    det_call = oexport.load_compiled(base + ".detect")
+    assert sup_call is not None and det_call is not None
+
+    pooled, s7 = sup_call(supp.pixels, supp.sizes)
+    xyxy, scores, valid = det_call(images.pixels, images.sizes, pooled, s7,
+                                   tids)
+
+    pooled_ref, s7_ref = model.apply(
+        variables, supp, b,
+        method=lambda m, s, n: m.compute_support_features(s, n))
+    dets = model.apply(
+        variables, images, pooled_ref, s7_ref, tids,
+        method=lambda m, im, p, s, t: m.detect_with_support(im, p, s, t))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(dets.valid))
+    np.testing.assert_allclose(np.asarray(xyxy), np.asarray(dets.xyxy),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(dets.get_field("scores")),
+                               rtol=1e-5, atol=1e-5)
+
+    # a mismatched-platform artifact is refused (portable fallback kicks in)
+    import pickle
+    with open(base + ".support.exec", "rb") as f:
+        d = pickle.loads(f.read())
+    d["platform"] = "not_a_platform"
+    with open(base + ".support.exec", "wb") as f:
+        f.write(pickle.dumps(d))
+    assert oexport.load_compiled(base + ".support") is None
