@@ -130,6 +130,59 @@ def export_eval(
     raise ValueError(f"unknown export kind: {kind!r}")
 
 
+def export_serving(
+    c,
+    variables,
+    path: str,
+    *,
+    query_hw: Optional[Tuple[int, int]] = None,
+    supp_hw: Optional[Tuple[int, int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+    compile_executable: bool = True,
+) -> bool:
+    """Export the complete batch-1 serving BUNDLE to ``path``:
+
+    - ``<path>.support`` / ``<path>.detect`` — portable StableHLO pair;
+    - ``<path>.support.exec`` / ``<path>.detect.exec`` — this platform's
+      compiled executables (the cold-start fast path; skipped when the
+      backend doesn't support serialization — returns False then);
+    - ``<path>.meta.json`` — the input contract (buckets, normalization,
+      space-to-depth) so ``predictor.ArtifactPredictor`` can serve frames
+      without the model-building python or the config system.
+
+    The reference serves by rebuilding the python model per process
+    (demo/predictor.py); this bundle needs neither model python nor a
+    compiler at load time.
+    """
+    import json
+
+    if query_hw is None:
+        query_hw = tuple(c.TPU.QUERY_BUCKETS[0])
+    if supp_hw is None:
+        supp_hw = tuple(c.TPU.SUPP_BUCKET)
+    pair = export_eval(c, variables, batch=1, query_hw=query_hw,
+                       supp_hw=supp_hw, kind="cached_support",
+                       platforms=platforms)
+    save(pair, path)
+    meta = {
+        "query_bucket": list(query_hw),
+        "supp_bucket": list(supp_hw),
+        "host_s2d": bool(c.TPU.HOST_S2D),
+        "pixel_mean": [float(v) for v in c.INPUT.PIXEL_MEAN],
+        "pixel_std": [float(v) for v in c.INPUT.PIXEL_STD],
+        "to_bgr255": bool(c.INPUT.TO_BGR255),
+        "min_size_test": int(c.INPUT.MIN_SIZE_TEST),
+        "max_size_test": int(c.INPUT.MAX_SIZE_TEST),
+        "supp_min_size_test": int(c.INPUT.SUPP_MIN_SIZE_TEST),
+        "supp_max_size_test": int(c.INPUT.SUPP_MAX_SIZE_TEST),
+    }
+    tmp = path + ".meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, path + ".meta.json")
+    return save_compiled(pair, path) if compile_executable else False
+
+
 def save_compiled(exported, path: str, *, backend=None) -> bool:
     """Compile one Exported (or a pair) for THIS platform and serialize the
     PjRt executable(s) next to the StableHLO artifact (``<path>.exec`` /

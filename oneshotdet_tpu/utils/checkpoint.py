@@ -94,15 +94,22 @@ class Checkpointer:
         f: Optional[str] = None,
         unload_keywords: Sequence[str] = (),
         resume: bool = True,
+        prefer_tag: bool = True,
     ):
         """Load with last-checkpoint precedence + UNLOAD_KEYWORD filtering.
 
         Args:
           state: freshly initialized TrainState (shapes + fresh values).
-          f: explicit checkpoint path (overridden by last_checkpoint tag).
+          f: explicit checkpoint path (overridden by last_checkpoint tag
+            unless ``prefer_tag=False``).
           resume: keep the stored iteration counter (FEW_SHOT.RESUME).
+          prefer_tag: the reference's resume semantics (checkpoint.py:53-57)
+            — the save_dir's last_checkpoint tag wins over ``f``. Pass False
+            when ``f`` names the exact checkpoint to evaluate/export (the
+            seq_test and export CLIs), otherwise a training dir's tag
+            silently redirects the load to the newest checkpoint.
         """
-        if self.has_checkpoint():
+        if prefer_tag and self.has_checkpoint():
             f = self.get_checkpoint_file()
         if not f:
             self._log("No checkpoint found. Initializing model from scratch")

@@ -191,3 +191,38 @@ def test_spatial_devices_validation(predictor):
     with pytest.raises(ValueError):
         OneShotPredictor(predictor.cfg, predictor.variables,
                          spatial_devices=7)  # 96 % 7 != 0
+
+
+@pytest.mark.slow
+def test_artifact_predictor_matches_live(predictor, tmp_path):
+    """ArtifactPredictor (export_serving bundle: StableHLO pair + compiled
+    executables + meta.json) matches the live OneShotPredictor on the same
+    frames — including the host space-to-depth input contract."""
+    from oneshotdet_tpu import export as oexport
+    from oneshotdet_tpu.predictor import ArtifactPredictor
+
+    c = predictor.cfg.clone()
+    c.TPU.HOST_S2D = True  # artifact input contract: 2x2-blocked pixels
+    path = str(tmp_path / "bundle")
+    used_exec = oexport.export_serving(c, predictor.variables, path)
+
+    ap = ArtifactPredictor(path, confidence_threshold=-1.0)
+    assert ap.used_executable == used_exec
+    assert ap.query_bucket == predictor.query_bucket
+
+    rng = np.random.RandomState(7)
+    supp = rng.randint(0, 255, (40, 40, 3), np.uint8)
+    predictor.set_support(supp)
+    ap.set_support(supp)
+    for shape in ((100, 150, 3), (80, 90, 3)):
+        frame = rng.randint(0, 255, shape, np.uint8)
+        b_live, s_live = predictor.run_on_image(frame)
+        b_art, s_art = ap.run_on_image(frame)
+        assert b_art.shape == b_live.shape, (b_art.shape, b_live.shape)
+        np.testing.assert_allclose(b_art, b_live, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(s_art, s_live, rtol=1e-4, atol=1e-4)
+
+    # fresh-artifact misuse guard matches the live predictor's
+    fresh = ArtifactPredictor(path)
+    with pytest.raises(AssertionError):
+        fresh.run_on_image(np.zeros((64, 64, 3), np.uint8))

@@ -90,7 +90,9 @@ def main():
             opt_state=optimizer.init(variables["params"]),
         )
         ckptr = Checkpointer(os.path.dirname(args.ckpt) or ".", logger, cfg=c)
-        state = ckptr.load(state, f=args.ckpt, resume=False)
+        # prefer_tag=False: export exactly args.ckpt, even when its dir
+        # carries a training last_checkpoint tag pointing elsewhere
+        state = ckptr.load(state, f=args.ckpt, resume=False, prefer_tag=False)
         variables = {"params": state.params, "constants": state.constants}
 
     if args.kind in ("full", "both"):
