@@ -21,15 +21,15 @@ import jax.lax as lax
 
 
 def pipelined(fn, variants, iters, warmup=2):
-    out = fn(variants[0]); jax.block_until_ready(out)
+    out = fn(variants[0]); _ = float(out)
     for i in range(warmup):
         out = fn(variants[1 + i])
-    jax.block_until_ready(out)
+    _ = float(out)  # value-forced sync (block_until_ready can lie — verify skill)
     base = warmup + 1
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(variants[base + i])
-    jax.block_until_ready(out)
+    _ = float(out)
     return (time.perf_counter() - t0) / iters * 1000
 
 
@@ -40,13 +40,27 @@ def main():
     n = iters + warmup + 1
     rng = np.random.RandomState(7)
 
+    # the detector's actual conv shapes at the production sizing (batch 8,
+    # 832x1216 query): R-50 stage bottleneck 3x3s at each stride, the
+    # FPN/tower 3x3 at each pyramid level, the ROI-head-like GEMM shapes,
+    # and a pure-matmul MXU reference point. This is the per-shape ceiling
+    # table behind the "backbone is at XLA's NHWC per-shape ceilings" claim
+    # (VERDICT r4 #8) — committed to BASELINE.md §Per-shape conv ceilings.
     cases = [
         # (name, shape NHWC, channels out, kernel, depth)
-        ("conv3x3 256->256 @8x104x152 x20", (8, 104, 152, 256), 256, 3, 20),
-        ("conv3x3 64->64 @8x208x304 x20", (8, 208, 304, 64), 64, 3, 20),
-        ("conv1x1 512->512 @16000x7x7 x20", (16000, 7, 7, 512), 512, 1, 20),
-        ("conv3x3 256->256 @16000x7x7 x8", (16000, 7, 7, 256), 256, 3, 8),
-        ("matmul 8192x8192x8192 x4", None, None, None, 4),
+        ("c2 3x3 64->64    @8x208x304", (8, 208, 304, 64), 64, 3, 20),
+        ("c3 3x3 128->128  @8x104x152", (8, 104, 152, 128), 128, 3, 20),
+        ("c4 3x3 256->256  @8x52x76", (8, 52, 76, 256), 256, 3, 20),
+        ("c5 3x3 512->512  @8x26x38", (8, 26, 38, 512), 512, 3, 20),
+        ("c4 1x1 256->1024 @8x52x76", (8, 52, 76, 256), 1024, 1, 20),
+        ("c4 1x1 1024->256 @8x52x76", (8, 52, 76, 1024), 256, 1, 20),
+        ("stem 4x4 12->64  @8x416x608", (8, 416, 608, 12), 64, 4, 8),
+        ("P3/tower 3x3 256 @8x104x152", (8, 104, 152, 256), 256, 3, 20),
+        ("P4 3x3 256->256  @8x52x76", (8, 52, 76, 256), 256, 3, 20),
+        ("P6 3x3 256->256  @8x13x19", (8, 13, 19, 256), 256, 3, 20),
+        ("roi 1x1 512->512 @16000x7x7", (16000, 7, 7, 512), 512, 1, 20),
+        ("roi 3x3 256->256 @16000x7x7", (16000, 7, 7, 256), 256, 3, 8),
+        ("matmul 8192^3", None, None, None, 4),
     ]
     for name, shape, cout, k, depth in cases:
         if shape is None:
