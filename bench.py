@@ -183,6 +183,76 @@ def _disk_cached_init(init_fn, path):
     return variables
 
 
+def _variables_on_device(model, args):
+    """Eval param tree created ON the device: the init program (seed 0,
+    tiny 64x64 shapes — conv params are spatial-size-independent) runs as
+    one _aot_jit-cached dispatch, so no 271 MB host->device parameter
+    upload rides the tunnel (~13 s at the 2026-08-19 ~20 MB/s, minutes in
+    the degraded state observed 2026-08-20). Initializer values come from
+    deterministic threefry streams: measured vs the CPU-init msgpack,
+    610/625 leaves are bit-equal and the rest differ by ~1 ulp (compiled
+    vs eager rounding of the initializer stddev multiply) — numerically
+    irrelevant for throughput work. ONESHOT_HOST_INIT=1 forces the old
+    host-init + device_put path."""
+    import jax
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.structures import ImageBatch
+
+    if os.environ.get("ONESHOT_HOST_INIT"):
+        variables = _init_eval_variables(model, args)
+        return jax.device_put(variables, jax.devices()[0])
+
+    small = ImageBatch(pixels=jnp.zeros((1, 64, 64, 3)),
+                       sizes=jnp.array([[64.0, 64.0]]))
+
+    def init_fn():
+        return model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                          train=False)
+
+    try:
+        t0 = time.time()
+        init = _aot_jit(f"initeval_{args.dtype}", init_fn)
+        variables = init()
+        jax.block_until_ready(variables)
+        print(f"device init: {time.time() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+        return variables
+    except Exception as e:  # noqa: BLE001 — any failure: host fallback
+        print(f"device init failed ({e}); host init + upload",
+              file=sys.stderr, flush=True)
+        variables = _init_eval_variables(model, args)
+        return jax.device_put(variables, jax.devices()[0])
+
+
+def _train_state_on_device(model, optimizer, init_fn, tag):
+    """TrainState (params + FrozenBN constants + optimizer slots) created
+    ON the device in one cached dispatch — the host path device_puts
+    ~540 MB (fp32 params + momentum) through the tunnel. Returns None on
+    failure so the caller can fall back to host init + upload."""
+    import jax
+
+    from oneshotdet_tpu.engine import create_train_state
+
+    if os.environ.get("ONESHOT_HOST_INIT"):
+        return None
+
+    def state_fn():
+        return create_train_state(model, optimizer, init_fn())
+
+    try:
+        t0 = time.time()
+        state = _aot_jit(tag, state_fn)()
+        jax.block_until_ready(state)
+        print(f"device train-state init: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return state
+    except Exception as e:  # noqa: BLE001
+        print(f"device train-state init failed ({e}); host init + upload",
+              file=sys.stderr, flush=True)
+        return None
+
+
 # ---------------------------------------------------------------------------
 # traced-program disk cache (jax.export)
 # ---------------------------------------------------------------------------
@@ -318,12 +388,16 @@ class _FreshBatches:
     base per stream + a distinct scalar offset per variant gives distinct
     content without a fresh 97 MB randn each time.
 
-    ``device()`` derives variants ON DEVICE (base uploaded once, then a
-    jitted add of a distinct scalar): tunnel uploads measured ~20-33 MB/s
-    on 2026-08-19 (vs ~2 GB/s in rounds 1-3), so a per-iteration 97 MB
-    host upload would cost ~3 s and measure the tunnel, not the chip.
-    Device-side input generation was validated as throughput-honest in
-    round 2 (tools/ablate_bench.py devgen_inputs ablation == full run).
+    ``device()`` derives variants ON DEVICE (base GENERATED on device, then
+    a jitted add of a distinct scalar). The base used to be a host randn
+    uploaded lazily — but uploads ride the tunnel (measured ~20-33 MB/s on
+    2026-08-19 and as low as ~0.3 MB/s on 2026-08-20), so the 97 MB base
+    landed inside the first chain execution and cost 300+ s of non-chip
+    time in the driver's budget. jax.random.normal from a tiny time-seeded
+    key produces the base with ZERO host transfer; iid-normal content is
+    distribution-identical to the old host randn, and device-side input
+    generation was validated as throughput-honest in round 2
+    (tools/ablate_bench.py devgen_inputs ablation == full run).
     """
 
     _uid = [0]
@@ -332,17 +406,24 @@ class _FreshBatches:
         from oneshotdet_tpu.data.transforms import space_to_depth
 
         self._s2d = space_to_depth if s2d else (lambda x: x)
-        rng = np.random.RandomState(
-            (int(time.time() * 1e3) + 7919 * self._uid[0]) % (2**31))
+        self._seed = (int(time.time() * 1e3)
+                      + 7919 * self._uid[0]) % (2**31)
         _FreshBatches._uid[0] += 1
-        self._base = rng.randn(*shape).astype(np.float32)
+        self._shape = tuple(shape)
+        self._base = None  # host-path only, lazily built
         self._i = 0
         self._dev_base = None
         self._add = None
 
+    def _host_base(self):
+        if self._base is None:
+            rng = np.random.RandomState(self._seed)
+            self._base = rng.randn(*self._shape).astype(np.float32)
+        return self._base
+
     def host(self):
         self._i += 1
-        return self._s2d(self._base + np.float32(self._i * 1e-3))
+        return self._s2d(self._host_base() + np.float32(self._i * 1e-3))
 
     def device(self):
         import jax
@@ -350,11 +431,18 @@ class _FreshBatches:
 
         if self._dev_base is None:
             t0 = time.time()
-            self._dev_base = jnp.asarray(self._s2d(self._base))
+            # s2d'd shape without materializing the 97 MB host array
+            per = self._s2d(np.zeros((1,) + self._shape[1:],
+                                     np.float32)).shape
+            full = (self._shape[0],) + tuple(per[1:])
+            key = jax.random.PRNGKey(self._seed)
+            gen = jax.jit(
+                lambda k: jax.random.normal(k, full, jnp.float32))
+            self._dev_base = gen(key)
             self._dev_base.block_until_ready()
             dt = time.time() - t0
             if dt > 1.0:
-                print(f"base upload {self._dev_base.nbytes / 1e6:.0f} MB: "
+                print(f"base devgen {self._dev_base.nbytes / 1e6:.0f} MB: "
                       f"{dt:.1f}s", file=sys.stderr, flush=True)
             self._add = jax.jit(lambda b, c: b + c)
         self._i += 1
@@ -841,6 +929,13 @@ def run_serving_stage(c, args, variables):
     supp_sizes = jnp.array([[400.0, 400.0]])
     sizes = jnp.array([[800.0, 1200.0]])
     tids = jnp.ones((1,), jnp.int32)
+    # materialize the first inputs BEFORE the cold-start clock: the first
+    # _FreshBatches.device() call compiles its small derivation program
+    # over the tunnel (~14 s measured) — harness cost, not artifact cost.
+    # A deployer has the frame in hand when they load the artifact.
+    s_in = sstream.device()
+    q_in = qstream.device()
+    jax.block_until_ready((s_in, q_in))
 
     # cold start = artifact load + first support + first detect, on the
     # FAST path (executable) when the platform supports it
@@ -857,13 +952,13 @@ def run_serving_stage(c, args, variables):
 
     accum = _make_accum()
     t0 = time.time()
-    supp_feats = sup_call(sstream.device(), supp_sizes)
+    supp_feats = sup_call(s_in, supp_sizes)
     _force(accum, supp_feats)
     t_first_support = time.time() - t0
 
     pooled, s7 = supp_feats
     t0 = time.time()
-    out = det_call(qstream.device(), sizes, pooled, s7, tids)
+    out = det_call(q_in, sizes, pooled, s7, tids)
     _force(accum, out)
     t_first_detect = time.time() - t0
 
@@ -893,6 +988,92 @@ def run_serving_stage(c, args, variables):
                  "workload": "AOT cached-support artifact, per-call"})
 
 
+def _paint_episodes(q_shape, s_shape, gt_xyxy, gt_valid, seed):
+    """Device-side synthetic episode pixels: noise + per-(step, image)
+    color blocks painted at the GT boxes, support crops carrying the same
+    color in their center — the content semantics of
+    ``utils.synthetic.make_episodic_batch`` (synthetic.py:31-46) with ZERO
+    large host→device transfer. The stacked train pixels are ~900 MB;
+    uploading them rode the tunnel inside the untimed first chain and cost
+    30-900 s depending on the day's tunnel speed (~20-33 MB/s measured
+    2026-08-19, ~0.3 MB/s observed 2026-08-20)."""
+    import jax
+    import jax.numpy as jnp
+
+    K, b, qh, qw = q_shape
+    _, _, sh, sw = s_shape
+    G = gt_xyxy.shape[2]
+
+    def gen(key, gt_xyxy, gt_valid):
+        kq, ks, kc = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (K, b, qh, qw, 3), jnp.float32) * 10.0
+        s = jax.random.normal(ks, (K, b, sh, sw, 3), jnp.float32) * 10.0
+        colors = jax.random.uniform(kc, (K, b, 3), jnp.float32, 50.0, 255.0)
+        yy = jnp.arange(qh, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(qw, dtype=jnp.float32)[None, :]
+        for g in range(G):  # static unroll; XLA fuses the where chain
+            box = gt_xyxy[:, :, g]
+            x1 = box[..., 0][..., None, None]
+            y1 = box[..., 1][..., None, None]
+            x2 = box[..., 2][..., None, None]
+            y2 = box[..., 3][..., None, None]
+            m = ((xx >= x1) & (xx <= x2) & (yy >= y1) & (yy <= y2)
+                 & gt_valid[:, :, g][..., None, None])
+            q = jnp.where(m[..., None],
+                          colors[:, :, None, None, :] + q * 0.5, q)
+        cm = jnp.zeros((sh, sw), bool).at[4:-4, 4:-4].set(True)
+        s = jnp.where(cm[None, None, :, :, None],
+                      colors[:, :, None, None, :] + s * 0.5, s)
+        return q, s
+
+    out = jax.jit(gen)(jax.random.PRNGKey(seed % (2**31)), gt_xyxy, gt_valid)
+    jax.block_until_ready(out)
+    return out
+
+
+def _stacked_episodes(b, qhw, shw, K, max_gt, seed):
+    """(K, batch, ...) stacked synthetic train episodes with pixels painted
+    ON DEVICE (_paint_episodes) and only the tiny GT/size/label arrays
+    built host-side. Same key set / shapes / dtypes as stacking
+    ``make_episodic_batch`` outputs directly, so existing trainchain
+    traced-program caches stay valid."""
+    import jax.numpy as jnp
+
+    from oneshotdet_tpu.utils.synthetic import make_episodic_batch
+
+    (qh, qw), (sh, sw) = qhw, shw
+    # tiny-shape generator calls give us the structured GT VALIDITY/labels
+    # cheaply; box coordinates are re-drawn below for the real query size
+    bs = [make_episodic_batch(b, (64, 64), (64, 64), max_gt=max_gt,
+                              seed=seed + i) for i in range(K)]
+    keys = [k for k in bs[0] if k not in ("img_ids", "idxs")]
+    out = {k: np.stack([x[k] for x in bs]) for k in keys}
+    rng = np.random.RandomState(seed % (2**31))
+    gt_xyxy = np.zeros((K, b, max_gt, 4), np.float32)
+    gt_valid = out["gt_valid"]
+    for k in range(K):
+        for i in range(b):
+            for g in range(max_gt):
+                if gt_valid[k, i, g]:
+                    w = int(rng.randint(qw // 8, qw // 2))
+                    h = int(rng.randint(qh // 8, qh // 2))
+                    x1 = int(rng.randint(0, qw - w))
+                    y1 = int(rng.randint(0, qh - h))
+                    gt_xyxy[k, i, g] = (x1, y1, x1 + w - 1, y1 + h - 1)
+    out["gt_xyxy"] = gt_xyxy
+    out["query_sizes"] = np.tile(np.array([[[qh, qw]]], np.float32),
+                                 (K, b, 1))
+    out["supp_sizes"] = np.tile(np.array([[[sh, sw]]], np.float32),
+                                (K, b, 1))
+    q_dev, s_dev = _paint_episodes((K, b, qh, qw), (K, b, sh, sw),
+                                   jnp.asarray(gt_xyxy),
+                                   jnp.asarray(gt_valid), seed)
+    dev = {k: jnp.asarray(v) for k, v in out.items() if "pixels" not in k}
+    dev["query_pixels"] = q_dev
+    dev["supp_pixels"] = s_dev
+    return dev
+
+
 def run_train_stage(c, args):
     """Steady-state training-step throughput on one chip.
 
@@ -919,11 +1100,8 @@ def run_train_stage(c, args):
     seed_base = int(time.time()) % (2**31)
 
     def stacked(off):
-        bs = [make_episodic_batch(b, (qh, qw), (sh, sw),
-                                  max_gt=c.TPU.MAX_GT_BOXES,
-                                  seed=seed_base + off + i) for i in range(K)]
-        keys = [k for k in bs[0] if k not in ("img_ids", "idxs")]
-        return {k: jnp.asarray(np.stack([x[k] for x in bs])) for k in keys}
+        return _stacked_episodes(b, (qh, qw), (sh, sw), K,
+                                 c.TPU.MAX_GT_BOXES, seed_base + off)
 
     def init_fn():
         small = make_episodic_batch(1, (64, 64), (64, 64), max_gt=4)
@@ -933,11 +1111,18 @@ def run_train_stage(c, args):
         return model.init({"params": jax.random.PRNGKey(0)}, images, supp,
                           targets, train=True, rng=jax.random.PRNGKey(1))
 
-    variables = _disk_cached_init(init_fn, _init_cache_path("train", args))
-
-    optimizer, _ = make_optimizer(c, variables["params"])
-    state = create_train_state(model, optimizer, variables)
-    state = jax.device_put(state, jax.devices()[0])
+    # optimizer needs only the param TREE; eval_shape traces the tiny init
+    # in seconds on CPU — no 271 MB msgpack read, no host variables at all
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        shapes = jax.eval_shape(init_fn)
+    optimizer, _ = make_optimizer(c, shapes["params"])
+    state = _train_state_on_device(model, optimizer, init_fn,
+                                   f"inittrainstate_{args.dtype}")
+    if state is None:  # host fallback (ONESHOT_HOST_INIT or export failure)
+        variables = _disk_cached_init(init_fn, _init_cache_path("train", args))
+        state = create_train_state(model, optimizer, variables)
+        state = jax.device_put(state, jax.devices()[0])
     train_step = make_train_step(model, optimizer)
     rng = jax.random.PRNGKey(0)
 
@@ -1000,8 +1185,7 @@ def run_all(args):
     preset_cfg = _make_cfg(args, roi_topk=PRESET_TOPK, quant="none")
     parity_cfg = _make_cfg(args, roi_topk=0, quant="none")
 
-    variables = _init_eval_variables(build_detection_model(preset_cfg), args)
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = _variables_on_device(build_detection_model(preset_cfg), args)
 
     primary = None
     extra = {}
@@ -1118,14 +1302,17 @@ def main():
 
     from oneshotdet_tpu.models import build_detection_model
 
-    variables = _init_eval_variables(build_detection_model(c), args,
-                                     quant=c.TPU.QUANT)
-    if c.TPU.QUANT == "int8_weight":
-        # offline weight-only transform: int8 kernels + per-cout scales go
-        # to the device; weight HBM traffic halves (ops/quant.py)
-        from oneshotdet_tpu.ops.quant import quantize_weights_int8
-        variables = quantize_weights_int8(variables)
-    variables = jax.device_put(variables, jax.devices()[0])
+    if c.TPU.QUANT == "none":
+        variables = _variables_on_device(build_detection_model(c), args)
+    else:
+        variables = _init_eval_variables(build_detection_model(c), args,
+                                         quant=c.TPU.QUANT)
+        if c.TPU.QUANT == "int8_weight":
+            # offline weight-only transform: int8 kernels + per-cout scales
+            # go to the device; weight HBM traffic halves (ops/quant.py)
+            from oneshotdet_tpu.ops.quant import quantize_weights_int8
+            variables = quantize_weights_int8(variables)
+        variables = jax.device_put(variables, jax.devices()[0])
     if args.mode == "eval":
         run_eval_stage(c, args, variables)
     elif args.mode == "latency":

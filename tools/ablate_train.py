@@ -134,12 +134,12 @@ def bench_train(c, b, qhw, shw, k=6, mode="full", seed_base=0):
     sh, sw = shw
 
     def stacked(off):
-        bs = [make_episodic_batch(b, (qh, qw), (sh, sw),
-                                  max_gt=c.TPU.MAX_GT_BOXES,
-                                  seed=seed_base + off + i) for i in range(k)]
-        keys = [kk for kk in bs[0] if kk not in ("img_ids", "idxs")]
-        import jax.numpy as jnp
-        return {kk: jnp.asarray(np.stack([x[kk] for x in bs])) for kk in keys}
+        # pixels generated + painted on device (bench._stacked_episodes):
+        # the ~900 MB host pixel upload per ablation would dominate wall
+        # time at degraded tunnel speeds
+        return bench_mod._stacked_episodes(b, (qh, qw), (sh, sw), k,
+                                           c.TPU.MAX_GT_BOXES,
+                                           seed_base + off)
 
     def init_fn():
         small = make_episodic_batch(1, (64, 64), (64, 64), max_gt=4)
@@ -149,20 +149,31 @@ def bench_train(c, b, qhw, shw, k=6, mode="full", seed_base=0):
         return model.init({"params": jax.random.PRNGKey(0)}, images, supp,
                           targets, train=True, rng=jax.random.PRNGKey(1))
 
-    # same disk-cached init as bench (identical param tree across ablations)
-    class _A:  # minimal args shim for bench._init_cache_path
-        dtype = c.TPU.COMPUTE_DTYPE
-    variables = bench_mod._disk_cached_init(
-        init_fn, bench_mod._init_cache_path("train", _A))
+    # identical param tree across ablations: device init from PRNGKey(0)
+    # is deterministic (threefry); optimizer built from the shape tree so
+    # no host variables materialize (bench._train_state_on_device — avoids
+    # the ~540 MB state upload per ablation process)
+    from oneshotdet_tpu.ops.pallas_roi_align import disable_pallas
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        shapes = jax.eval_shape(init_fn)
 
     if mode == "opt_sgd":
         import optax
 
         optimizer = optax.sgd(0.01)
     else:
-        optimizer, _ = make_optimizer(c, variables["params"])
-    state = create_train_state(model, optimizer, variables)
-    state = jax.device_put(state, jax.devices()[0])
+        optimizer, _ = make_optimizer(c, shapes["params"])
+    tag_bits = (f"{mode}_{c.TPU.COMPUTE_DTYPE}"
+                f"_t{c.MODEL.FCOS.NUM_CONVS}r{int(c.MODEL.RPN_ONLY)}")
+    state = bench_mod._train_state_on_device(
+        model, optimizer, init_fn, f"abltrainstate_{tag_bits}")
+    if state is None:
+        class _A:  # minimal args shim for bench._init_cache_path
+            dtype = c.TPU.COMPUTE_DTYPE
+        variables = bench_mod._disk_cached_init(
+            init_fn, bench_mod._init_cache_path("train", _A))
+        state = create_train_state(model, optimizer, variables)
+        state = jax.device_put(state, jax.devices()[0])
     rng = jax.random.PRNGKey(0)
 
     if mode == "fwd_only":
