@@ -231,6 +231,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--k", type=int, default=6, help="steps per chain")
     p.add_argument("--only", nargs="*", default=None)
+    p.add_argument("--seed-offset", type=int, default=0,
+                   help="offset episode seeds: REQUIRED for repeat runs — "
+                        "the tunnel memoizes (program, input-content) pairs "
+                        "across processes and replays them in ~0.5 ms")
     p.add_argument("--query-hw", type=int, nargs=2, default=(832, 1216))
     p.add_argument("--supp-hw", type=int, nargs=2, default=(416, 416))
     p.add_argument("--platform", default=None,
@@ -290,7 +294,7 @@ def main():
         t0 = time.time()
         ms = bench_train(c, args.batch, tuple(args.query_hw),
                          tuple(args.supp_hw), k=args.k, mode=mode,
-                         seed_base=5000 + 101 * i)
+                         seed_base=5000 + 101 * i + args.seed_offset)
         results[name] = ms
         print(f"{name:14s} {ms:8.1f} ms/iter  "
               f"[{time.time() - t0:.0f}s]", flush=True)
