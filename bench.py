@@ -891,6 +891,10 @@ def run_serving_stage(c, args, variables):
     # ~6 min on this host) only when the program could have changed — the
     # serving metrics time LOAD + FIRST INFERENCE, not export
     plat = jax.devices()[0].platform
+    # device-side init (round 5) no longer touches .bench_cache, so this
+    # stage may be the first writer — create the dir (fix: serving failed
+    # with ENOENT on a fresh checkout)
+    os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
     path = os.path.join(
         REPO, ".bench_cache",
         f"serving_{plat}_{_package_fingerprint()}"
